@@ -1,0 +1,41 @@
+"""Global configuration for dpilqr_tpu.
+
+The reference implementation (labicon/dp-ilqr) computes everything in float64
+(numpy default).  On TPU, float32 is the fast native precision, so the library
+is dtype-polymorphic: every solver follows the dtype of its inputs.  For
+parity testing against float64 oracles on CPU we enable the JAX x64 flag here
+so float64 inputs stay float64; TPU benchmarks simply pass float32 arrays.
+"""
+
+from dataclasses import dataclass
+
+import jax
+
+jax.config.update("jax_enable_x64", True)
+
+
+@dataclass(frozen=True)
+class SolverConfig:
+    """Hyperparameters of the iLQR solve.
+
+    Defaults mirror the reference solver (dpilqr/control.py:48-51,150):
+    ``DELTA_0=2.0, MU_MIN=1e-6, MU_MAX=1e3, N_LS_ITER=10`` with
+    ``n_lqr_iter=50`` outer iterations and relative tolerance ``1e-3``.
+    """
+
+    n_lqr_iter: int = 50
+    tol: float = 1e-3
+    delta_0: float = 2.0
+    mu_min: float = 1e-6
+    mu_max: float = 1e3
+    n_ls_iter: int = 10
+    mu_init: float = 1.0
+
+    # When True the returned cost is the cost of the returned trajectory
+    # (J_star).  The reference returns the last line-search cost even when the
+    # line search failed (dpilqr/control.py:225) -- a quirk we do not copy.
+    # There is no flag for that behavior; this field documents the delta.
+    return_accepted_cost: bool = True
+
+
+DEFAULT_CONFIG = SolverConfig()

@@ -1,0 +1,240 @@
+"""Potential-game cost: per-agent quadratic tracking + pairwise proximity.
+
+Semantics follow the reference (dpilqr/cost.py):
+
+- ReferenceCost (cost.py:79-101): stage ``(x-xf)^T Q (x-xf) + u^T R u``,
+  terminal ``(x-xf)^T Qf (x-xf)``; gradients use ``Q+Q^T``/``R+R^T``.
+- ProximityCost (cost.py:117-171): ``sum_pairs min(0, d_ij - radius)^2`` with
+  per-pair position dimensionality ``nd = min(n_pos_i, n_pos_j)``.
+- GameCost (cost.py:185-239): ``REF_WEIGHT * sum_i ref_i + PROX_WEIGHT * prox``
+  with weights 1.0 / 200.0; proximity terms apply at the terminal state too.
+
+The pair gradient/Hessian here is the exact derivative of the penalty
+(the reference's closed form at cost.py:269-315 is algebraically identical:
+``H = (2 - 2r/d) I + (2r/d^3) dd^T`` inside the radius, zero outside).
+
+Known reference quirk NOT replicated: for fleets with uniform ``n_dims`` the
+reference *evaluates* proximity with 2-D distances (cost.py:122-123 defaults
+``n_d=2``) while *quadraticizing* with ``min(n_dims)`` -- an inconsistency
+between the cost and its derivatives.  Here both use ``min(n_pos_i, n_pos_j)``.
+
+Everything is expressed on the padded block layout ``x: (n, nx_p)``,
+``u: (n, nu_p)``.  ``agent_mask`` zeroes padded subproblem slots (a slot with
+mask 0 contributes no reference or proximity cost and gets an identity
+control Hessian so the Riccati recursion stays nonsingular and exactly
+decoupled).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+import numpy as np
+
+_EPS = 1e-12
+
+
+class GameCost(NamedTuple):
+    """Array-valued cost specification (a pytree; vmap-able over problems)."""
+
+    xf: jnp.ndarray  # (n, nx_p) goal states (padded)
+    Q: jnp.ndarray  # (n, nx_p, nx_p) stage state weights
+    R: jnp.ndarray  # (n, nu_p, nu_p) stage control weights
+    Qf: jnp.ndarray  # (n, nx_p, nx_p) terminal state weights
+    radius: jnp.ndarray  # () proximity radius
+    n_pos: jnp.ndarray  # (n,) int: 2 or 3 position coordinates per agent
+    agent_mask: jnp.ndarray  # (n,) 1.0 = real agent, 0.0 = padded slot
+    prox_weight: jnp.ndarray  # () default 200.0
+    ref_weight: jnp.ndarray  # () default 1.0
+
+
+def make_game_cost(
+    xf,
+    Q,
+    R,
+    Qf,
+    radius=0.0,
+    n_pos=None,
+    agent_mask=None,
+    prox_weight=200.0,
+    ref_weight=1.0,
+    dtype=None,
+) -> GameCost:
+    """Build a GameCost from per-agent arrays.
+
+    ``xf: (n, nx_p)``; ``Q/Qf: (n, nx_p, nx_p)``; ``R: (n, nu_p, nu_p)``.
+    """
+    xf = jnp.asarray(xf, dtype=dtype)
+    n = xf.shape[0]
+    dtype = xf.dtype
+    if n_pos is None:
+        n_pos = np.full((n,), 2, dtype=np.int32)
+    if agent_mask is None:
+        agent_mask = np.ones((n,))
+    return GameCost(
+        xf=xf,
+        Q=jnp.asarray(Q, dtype=dtype),
+        R=jnp.asarray(R, dtype=dtype),
+        Qf=jnp.asarray(Qf, dtype=dtype),
+        radius=jnp.asarray(radius, dtype=dtype),
+        n_pos=jnp.asarray(n_pos, dtype=jnp.int32),
+        agent_mask=jnp.asarray(agent_mask, dtype=dtype),
+        prox_weight=jnp.asarray(prox_weight, dtype=dtype),
+        ref_weight=jnp.asarray(ref_weight, dtype=dtype),
+    )
+
+
+def _pair_indices(n: int):
+    """Static upper-triangle pair indices (i < j)."""
+    return np.triu_indices(n, k=1)
+
+
+def _pair_geometry(cost: GameCost, x):
+    """Common pair quantities.
+
+    Returns (ii, jj, delta, d, w_pair) where ``delta: (npairs, 3)`` is the
+    component-masked position difference, ``d: (npairs,)`` the distance and
+    ``w_pair`` the pair activity weight (mask_i * mask_j * [d < r]).
+    """
+    n, nx_p = x.shape
+    ii, jj = _pair_indices(n)
+    k = min(3, nx_p)
+    pos = jnp.zeros((n, 3), dtype=x.dtype).at[:, :k].set(x[:, :k])
+    nd_pair = jnp.minimum(cost.n_pos[ii], cost.n_pos[jj])  # (npairs,)
+    comp = jnp.arange(3)[None, :] < nd_pair[:, None]  # (npairs, 3) bool
+    delta = (pos[ii] - pos[jj]) * comp
+    d = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
+    active = (d < cost.radius).astype(x.dtype)
+    w_pair = cost.agent_mask[ii] * cost.agent_mask[jj] * active
+    return ii, jj, delta, d, w_pair, comp
+
+
+def proximity_cost(cost: GameCost, x):
+    """Unweighted ``sum_pairs min(0, d - r)^2`` (reference cost.py:117-133)."""
+    n = x.shape[0]
+    if n < 2:
+        return jnp.zeros((), dtype=x.dtype)
+    _, _, _, d, w_pair, _ = _pair_geometry(cost, x)
+    pen = jnp.minimum(0.0, d - cost.radius) ** 2
+    return jnp.sum(w_pair * pen)
+
+
+def proximity_quadraticize(cost: GameCost, x):
+    """Exact gradient/Hessian of the proximity penalty in block layout.
+
+    Returns ``L_x: (n, nx_p)`` and ``L_xx: (n, nx_p, n, nx_p)``.
+    Matches the reference closed form (cost.py:269-315) scattered per pair
+    into ``(+i,+i), (+j,+j), (-i,j), (-j,i)`` blocks (cost.py:160-166).
+    """
+    n, nx_p = x.shape
+    L_x = jnp.zeros((n, nx_p), dtype=x.dtype)
+    L_xx = jnp.zeros((n, nx_p, n, nx_p), dtype=x.dtype)
+    if n < 2:
+        return L_x, L_xx
+
+    ii, jj, delta, d, w_pair, comp = _pair_geometry(cost, x)
+    r = cost.radius
+    d_safe = jnp.maximum(d, _EPS)
+
+    # grad wrt pos_i: 2 (d - r)/d * delta
+    g = (w_pair * 2.0 * (d - r) / d_safe)[:, None] * delta  # (npairs, 3)
+
+    # Hessian: (2 - 2r/d) I + (2r/d^3) delta delta^T, masked to active comps.
+    eye3 = jnp.eye(3, dtype=x.dtype)
+    H = (2.0 - 2.0 * r / d_safe)[:, None, None] * eye3 + (
+        2.0 * r / d_safe**3
+    )[:, None, None] * (delta[:, :, None] * delta[:, None, :])
+    cm = comp.astype(x.dtype)
+    H = H * (cm[:, :, None] * cm[:, None, :]) * w_pair[:, None, None]
+
+    k = min(3, nx_p)
+    g = g[:, :k]
+    H = H[:, :k, :k]
+
+    L_x = L_x.at[ii, :k].add(g)
+    L_x = L_x.at[jj, :k].add(-g)
+    L_xx = L_xx.at[ii, :k, ii, :k].add(H)
+    L_xx = L_xx.at[jj, :k, jj, :k].add(H)
+    L_xx = L_xx.at[ii, :k, jj, :k].add(-H)
+    L_xx = L_xx.at[jj, :k, ii, :k].add(-H)
+    return L_x, L_xx
+
+
+def stage_cost(cost: GameCost, x, u):
+    """Weighted game stage cost (reference cost.py:197-206)."""
+    e = x - cost.xf
+    ref = jnp.einsum("ia,iab,ib->i", e, cost.Q, e) + jnp.einsum(
+        "ia,iab,ib->i", u, cost.R, u
+    )
+    total = cost.ref_weight * jnp.sum(cost.agent_mask * ref)
+    total = total + cost.prox_weight * proximity_cost(cost, x)
+    # Padded slots: tiny control regularizer keeps the padded problem
+    # consistent with its quadraticization (contributes 0 when u_slot == 0).
+    total = total + jnp.sum((1.0 - cost.agent_mask) * jnp.sum(u * u, axis=-1))
+    return total
+
+
+def terminal_cost(cost: GameCost, x):
+    """Weighted terminal cost; proximity applies here too (cost.py:197-206)."""
+    e = x - cost.xf
+    ref = jnp.einsum("ia,iab,ib->i", e, cost.Qf, e)
+    total = cost.ref_weight * jnp.sum(cost.agent_mask * ref)
+    return total + cost.prox_weight * proximity_cost(cost, x)
+
+
+def quadraticize_stage(cost: GameCost, x, u):
+    """Stage quadraticization in block layout (reference cost.py:208-239).
+
+    Returns ``L_x (n, nx_p)``, ``L_u (n, nu_p)``, ``L_xx (n, nx_p, n, nx_p)``,
+    ``L_uu (n, nu_p, nu_p)`` (block-diagonal; L_ux is identically zero for
+    this cost family, reference cost.py:93).
+    """
+    n, nx_p = x.shape
+    m = cost.agent_mask
+    e = x - cost.xf
+    QQt = cost.Q + jnp.swapaxes(cost.Q, -1, -2)
+    RRt = cost.R + jnp.swapaxes(cost.R, -1, -2)
+
+    L_x = cost.ref_weight * m[:, None] * jnp.einsum("ia,iab->ib", e, QQt)
+    L_u = cost.ref_weight * m[:, None] * jnp.einsum("ia,iab->ib", u, RRt)
+    L_xx_diag = cost.ref_weight * m[:, None, None] * QQt
+    L_uu = cost.ref_weight * m[:, None, None] * RRt
+
+    # Padded-slot control regularizer: d/du of (1-m) u^T u.
+    nu_p = u.shape[-1]
+    eye_u = jnp.eye(nu_p, dtype=x.dtype)
+    L_u = L_u + 2.0 * (1.0 - m)[:, None] * u
+    L_uu = L_uu + 2.0 * (1.0 - m)[:, None, None] * eye_u
+
+    L_xx = jnp.zeros((n, nx_p, n, nx_p), dtype=x.dtype)
+    idx = jnp.arange(n)
+    L_xx = L_xx.at[idx, :, idx, :].set(L_xx_diag)
+
+    if n > 1:
+        Lp_x, Lp_xx = proximity_quadraticize(cost, x)
+        L_x = L_x + cost.prox_weight * Lp_x
+        L_xx = L_xx + cost.prox_weight * Lp_xx
+
+    return L_x, L_u, L_xx, L_uu
+
+
+def quadraticize_terminal(cost: GameCost, x):
+    """Terminal quadraticization: uses Qf; proximity included (cost.py:208-239)."""
+    n, nx_p = x.shape
+    m = cost.agent_mask
+    e = x - cost.xf
+    QfQft = cost.Qf + jnp.swapaxes(cost.Qf, -1, -2)
+    L_x = cost.ref_weight * m[:, None] * jnp.einsum("ia,iab->ib", e, QfQft)
+    L_xx_diag = cost.ref_weight * m[:, None, None] * QfQft
+
+    L_xx = jnp.zeros((n, nx_p, n, nx_p), dtype=x.dtype)
+    idx = jnp.arange(n)
+    L_xx = L_xx.at[idx, :, idx, :].set(L_xx_diag)
+
+    if n > 1:
+        Lp_x, Lp_xx = proximity_quadraticize(cost, x)
+        L_x = L_x + cost.prox_weight * Lp_x
+        L_xx = L_xx + cost.prox_weight * Lp_xx
+
+    return L_x, L_xx

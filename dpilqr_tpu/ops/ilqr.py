@@ -1,0 +1,308 @@
+"""iLQR solver core: fully jittable, vmap-able over problems.
+
+Algorithm parity with the reference solver (dpilqr/control.py:15-242):
+
+- initial rollout of the warm-start controls (control.py:80-93),
+- backward Riccati/DDP recursion with Tassa-style state regularization
+  ``B^T (P + mu I) B`` (control.py:116-148),
+- backtracking line search over ``alpha = 1.1 ** (-i^2)`` accepting the first
+  cost decrease (control.py:162,179-193),
+- convergence when the relative decrease falls below ``tol``; bail-out when
+  the line search fails (control.py:184,195-198),
+- regularization schedule reset/decrease (control.py:227-237).
+
+TPU-first design departures from the reference:
+
+- The time loops are ``lax.scan``s; the outer iteration is a
+  ``lax.while_loop`` with masked termination -- one compiled program.
+- The line search evaluates all ``n_ls_iter`` alphas as one batched forward
+  rollout (vmap over the alpha axis) and selects the first improving one --
+  identical accept decision to the reference's sequential early-exit, but one
+  wide kernel instead of up to 10 narrow ones.
+- The backward pass exploits the block-diagonal structure of A and B: the
+  heavy sandwiches ``A^T P A``, ``B^T P B``, ``B^T P A`` are batched block
+  einsums (O(n^2) small matmuls instead of O(n^3) dense work), while the gain
+  solve and value update stay dense in the flat space where they are genuinely
+  dense.  The reference densifies everything (dpilqr/dynamics.py:173-186).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import DEFAULT_CONFIG, SolverConfig
+from ..models.fleet import Fleet
+from .costs import (
+    GameCost,
+    quadraticize_stage,
+    quadraticize_terminal,
+    stage_cost,
+    terminal_cost,
+)
+
+
+class SolveResult(NamedTuple):
+    X: jnp.ndarray  # (N+1, n, nx_p) state trajectory
+    U: jnp.ndarray  # (N, n, nu_p) control trajectory
+    J: jnp.ndarray  # () cost of (X, U)
+    iters: jnp.ndarray  # () iLQR iterations executed
+    converged: jnp.ndarray  # () bool: relative decrease < tol
+    failed_line_search: jnp.ndarray  # () bool: bailed out
+
+
+def line_search_alphas(n_ls_iter: int, dtype) -> np.ndarray:
+    """``1.1 ** (-i^2)`` computed in float32 like the reference
+    (dpilqr/control.py:162), cast to the solve dtype."""
+    i = np.arange(n_ls_iter, dtype=np.float32)
+    return np.asarray(np.float32(1.1) ** (-(i**2)), dtype=dtype)
+
+
+def rollout(fleet: Fleet, cost: GameCost, x0, U):
+    """Nonlinear rollout accumulating cost (reference control.py:80-93)."""
+    step = fleet.step
+
+    def body(carry, u_t):
+        x, J = carry
+        J = J + stage_cost(cost, x, u_t)
+        x_next = step(x, u_t)
+        return (x_next, J), x_next
+
+    (x_last, J), X_rest = jax.lax.scan(body, (x0, jnp.zeros((), x0.dtype)), U)
+    X = jnp.concatenate([x0[None], X_rest], axis=0)
+    J = J + terminal_cost(cost, x_last)
+    return X, J
+
+
+def _forward_pass(fleet: Fleet, cost: GameCost, X, U, K, d, alpha):
+    """Closed-loop rollout ``du = K dx + alpha d`` (reference control.py:95-114)."""
+    n, nx_p = X.shape[1], X.shape[2]
+    nu_p = U.shape[2]
+    step = fleet.step
+
+    def body(carry, inp):
+        x, J = carry
+        X_t, U_t, K_t, d_t = inp
+        dx = (x - X_t).reshape(-1)
+        du = K_t @ dx + alpha * d_t
+        u_new = U_t + du.reshape(n, nu_p)
+        J = J + stage_cost(cost, x, u_new)
+        x_next = step(x, u_new)
+        return (x_next, J), (x, u_new)
+
+    (x_last, J), (X_prev, U_new) = jax.lax.scan(
+        body, (X[0], jnp.zeros((), X.dtype)), (X[:-1], U, K, d)
+    )
+    J = J + terminal_cost(cost, x_last)
+    X_new = jnp.concatenate([X_prev, x_last[None]], axis=0)
+    return X_new, U_new, J
+
+
+def _backward_pass(fleet: Fleet, cost: GameCost, X, U, mu):
+    """Block Riccati recursion (reference control.py:116-148).
+
+    Returns flat gains ``K: (N, n*nu_p, n*nx_p)`` and ``d: (N, n*nu_p)``.
+    """
+    N, n, nx_p = U.shape[0], X.shape[1], X.shape[2]
+    nu_p = U.shape[2]
+    nxf, nuf = n * nx_p, n * nu_p
+    dtype = X.dtype
+    linearize = fleet.linearize
+    bmask = cost.agent_mask
+
+    L_xT, L_xxT = quadraticize_terminal(cost, X[-1])
+    p0 = L_xT.reshape(nxf)
+    P0 = L_xxT.reshape(nxf, nxf)
+    eye_f = jnp.eye(nxf, dtype=dtype)
+
+    def bw_step(carry, inp):
+        p, P = carry
+        x_t, u_t = inp
+
+        L_x, L_u, L_xx, L_uu = quadraticize_stage(cost, x_t, u_t)
+        A, B = linearize(x_t, u_t)  # (n, nx, nx), (n, nx, nu)
+        # Zero padded-slot input maps: keeps the padded Riccati recursion
+        # exactly decoupled from real agents (see ops/costs.py docstring).
+        B = B * bmask[:, None, None]
+
+        P4 = P.reshape(n, nx_p, n, nx_p)
+        Preg4 = (P + mu * eye_f).reshape(n, nx_p, n, nx_p)
+        p2 = p.reshape(n, nx_p)
+
+        Q_x = L_x + jnp.einsum("iba,ib->ia", A, p2)
+        Q_u = L_u + jnp.einsum("iba,ib->ia", B, p2)
+        # Block sandwiches: only the (i, j) block pairs couple, through P.
+        Q_xx = L_xx + jnp.einsum("iba,ibjc,jcd->iajd", A, P4, A)
+        Q_uu4 = jnp.einsum("iba,ibjc,jcd->iajd", B, Preg4, B)
+        idx = jnp.arange(n)
+        Q_uu4 = Q_uu4.at[idx, :, idx, :].add(L_uu)
+        Q_ux4 = jnp.einsum("iba,ibjc,jcd->iajd", B, Preg4, A)
+
+        Quu = Q_uu4.reshape(nuf, nuf)
+        Qux = Q_ux4.reshape(nuf, nxf)
+        Qu = Q_u.reshape(nuf)
+        Qx = Q_x.reshape(nxf)
+        Qxx = Q_xx.reshape(nxf, nxf)
+
+        rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
+        sol = jnp.linalg.solve(Quu, rhs)
+        K_t = -sol[:, :nxf]
+        d_t = -sol[:, nxf]
+
+        KtQuu = K_t.T @ Quu
+        p_new = Qx + KtQuu @ d_t + K_t.T @ Qu + Qux.T @ d_t
+        P_new = Qxx + KtQuu @ K_t + K_t.T @ Qux + Qux.T @ K_t
+        P_new = 0.5 * (P_new + P_new.T)
+        return (p_new, P_new), (K_t, d_t)
+
+    _, (K, d) = jax.lax.scan(bw_step, (p0, P0), (X[:-1], U), reverse=True)
+    return K, d
+
+
+def make_solver(fleet: Fleet, N: int, config: SolverConfig = DEFAULT_CONFIG):
+    """Build the jitted solve function for a fleet and horizon.
+
+    Returns ``solve(cost: GameCost, x0: (n, nx_p), U0: (N, n, nu_p) | None)
+    -> SolveResult``.  The function is pure and vmap-able over a leading
+    problem axis on ``(cost, x0, U0)``.
+    """
+    cfg = config
+
+    def solve(cost: GameCost, x0, U0):
+        return _ilqr_solve(fleet, N, cfg, cost, x0, U0)
+
+    return jax.jit(solve)
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2))
+def _ilqr_solve(fleet: Fleet, N: int, cfg: SolverConfig, cost: GameCost, x0, U0):
+    dtype = x0.dtype
+    n, nx_p = x0.shape
+    nu_p = fleet.nu_p
+    # The solve is dtype-polymorphic in x0: cast the cost pytree so a float32
+    # problem stays float32 end to end (TPU fast path).
+    cost = jax.tree.map(
+        lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
+        cost,
+    )
+    if U0 is None:
+        U0 = jnp.zeros((N, n, nu_p), dtype=dtype)
+    else:
+        U0 = U0.astype(dtype)
+    alphas = jnp.asarray(line_search_alphas(cfg.n_ls_iter, dtype))
+
+    X0, J0 = rollout(fleet, cost, x0, U0)
+
+    def _fwd(X, U, K, d, alpha):
+        return _forward_pass(fleet, cost, X, U, K, d, alpha)
+
+    fwd_batch = jax.vmap(_fwd, in_axes=(None, None, None, None, 0))
+
+    class Carry(NamedTuple):
+        X: jnp.ndarray
+        U: jnp.ndarray
+        J_star: jnp.ndarray
+        mu: jnp.ndarray
+        delta: jnp.ndarray
+        i: jnp.ndarray
+        converged: jnp.ndarray
+        failed: jnp.ndarray
+
+    def cond(c: Carry):
+        return (c.i < cfg.n_lqr_iter) & ~c.converged & ~c.failed
+
+    def body(c: Carry):
+        K, d = _backward_pass(fleet, cost, c.X, c.U, c.mu)
+        X_c, U_c, J_c = fwd_batch(c.X, c.U, K, d, alphas)
+
+        improved = J_c < c.J_star  # (n_ls,)
+        accept = jnp.any(improved)
+        a_idx = jnp.argmax(improved)  # first improving alpha
+        X_new = jnp.where(accept, X_c[a_idx], c.X)
+        U_new = jnp.where(accept, U_c[a_idx], c.U)
+        J_new = jnp.where(accept, J_c[a_idx], c.J_star)
+
+        converged = accept & (
+            jnp.abs((c.J_star - J_new) / jnp.maximum(jnp.abs(c.J_star), jnp.finfo(dtype).tiny))
+            < cfg.tol
+        )
+
+        # Decrease regularization on acceptance (reference control.py:232-237).
+        delta_dec = jnp.minimum(1.0, c.delta) / cfg.delta_0
+        mu_dec = c.mu * delta_dec
+        mu_dec = jnp.where(mu_dec <= cfg.mu_min, 0.0, mu_dec)
+        mu_new = jnp.where(accept, mu_dec, c.mu)
+        delta_new = jnp.where(accept, delta_dec, c.delta)
+
+        return Carry(
+            X=X_new,
+            U=U_new,
+            J_star=J_new,
+            mu=mu_new,
+            delta=delta_new,
+            i=c.i + 1,
+            converged=converged,
+            failed=~accept,
+        )
+
+    init = Carry(
+        X=X0,
+        U=U0,
+        J_star=J0,
+        mu=jnp.asarray(cfg.mu_init, dtype),
+        delta=jnp.asarray(cfg.delta_0, dtype),
+        i=jnp.zeros((), jnp.int32),
+        converged=jnp.zeros((), bool),
+        failed=jnp.zeros((), bool),
+    )
+    out = jax.lax.while_loop(cond, body, init)
+
+    return SolveResult(
+        X=out.X,
+        U=out.U,
+        J=out.J_star,
+        iters=out.i,
+        converged=out.converged,
+        failed_line_search=out.failed,
+    )
+
+
+def ilqr_solve(
+    fleet: Fleet,
+    cost: GameCost,
+    x0,
+    U0=None,
+    N: int | None = None,
+    config: SolverConfig = DEFAULT_CONFIG,
+) -> SolveResult:
+    """Convenience single-problem entry point.
+
+    ``x0: (n, nx_p)``; ``U0: (N, n, nu_p)`` or None (zero init, like the
+    reference control.py:152-153).
+    """
+    x0 = jnp.asarray(x0)
+    n = fleet.n_agents
+    if x0.shape != (n, fleet.nx_p):
+        raise ValueError(
+            f"x0 must have shape (n_agents, nx_p) = ({n}, {fleet.nx_p}), "
+            f"got {x0.shape}"
+        )
+    if U0 is None:
+        if N is None:
+            raise ValueError("Provide U0 or N")
+        U0 = jnp.zeros((N, n, fleet.nu_p), dtype=x0.dtype)
+    U0 = jnp.asarray(U0, dtype=x0.dtype)
+    if U0.ndim != 3 or U0.shape[1:] != (n, fleet.nu_p):
+        raise ValueError(
+            f"U0 must have shape (N, n_agents, nu_p) = (N, {n}, {fleet.nu_p}), "
+            f"got {U0.shape}"
+        )
+    if cost.xf.shape[0] != n:
+        raise ValueError(
+            f"cost has {cost.xf.shape[0]} agents but fleet has {n}"
+        )
+    return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)

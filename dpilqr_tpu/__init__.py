@@ -30,6 +30,28 @@ from .models import (
     get_model,
     homogeneous_fleet,
 )
+from .parallel import (
+    DistributedResult,
+    RhcResult,
+    RhcStepInfo,
+    graph_to_dict,
+    interaction_graph,
+    make_mesh,
+    selfish_warmstart,
+    solve_distributed,
+    solve_distributed_sharded,
+    solve_rhc,
+)
+from .utils import (
+    compute_energy,
+    distance_to_goal,
+    face_goal,
+    normalize_energy,
+    pairwise_distances,
+    perturb_state,
+    random_setup,
+    randomize_locs,
+)
 from .ops import (
     GameCost,
     SolveResult,

@@ -140,6 +140,21 @@ class Fleet:
 
         return fleet_fn
 
+    def _dispatch_dyn(self, make_branch):
+        """Like _dispatch but model selection is a *traced* per-slot index
+        array (for gathered subproblems whose slot models are data-dependent).
+        Branch indices refer to ``self._unique_specs`` order."""
+        branches = [make_branch(s) for s in self._unique_specs]
+        if len(branches) == 1:
+            fn = branches[0]
+            vm = jax.vmap(fn)
+            return lambda mids, x, u: vm(x, u)
+
+        def per_agent(i, x, u):
+            return jax.lax.switch(i, branches, x, u)
+
+        return jax.vmap(per_agent, in_axes=(0, 0, 0))
+
     # ---- public fleet operations -----------------------------------------
     @cached_property
     def f(self):
@@ -155,6 +170,23 @@ class Fleet:
     def linearize(self):
         """Discretized Jacobian blocks: -> A (n, nx_p, nx_p), B (n, nx_p, nu_p)."""
         return self._dispatch(self._padded_linearize)
+
+    # Dynamic-dispatch variants: first argument is a traced (k,) int32 array
+    # of branch indices (see ``branch_index_array``); slot count k may differ
+    # from n_agents.  Used by the distributed layer, where subproblem slots
+    # are data-dependent gathers of the parent fleet.
+    @cached_property
+    def step_dyn(self):
+        return self._dispatch_dyn(self._padded_step)
+
+    @cached_property
+    def linearize_dyn(self):
+        return self._dispatch_dyn(self._padded_linearize)
+
+    @cached_property
+    def branch_index_array(self) -> np.ndarray:
+        """(n_agents,) int32 branch index per agent for the *_dyn functions."""
+        return self._branch_index
 
     # ---- helpers ----------------------------------------------------------
     def pad_states(self, x_native):

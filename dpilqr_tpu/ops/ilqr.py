@@ -24,12 +24,17 @@ TPU-first design departures from the reference:
   einsums (O(n^2) small matmuls instead of O(n^3) dense work), while the gain
   solve and value update stay dense in the flat space where they are genuinely
   dense.  The reference densifies everything (dpilqr/dynamics.py:173-186).
+
+The core (`solve_core`) is parameterized by dynamics callables so the same
+engine serves: the static-fleet centralized solve, vmapped batched subproblem
+solves with data-dependent model dispatch (parallel/distributed.py), and the
+host-steppable real-time variant with wall-clock deadlines (``t_kill``).
 """
 
 from __future__ import annotations
 
 from functools import partial
-from typing import NamedTuple
+from typing import Callable, NamedTuple
 
 import jax
 import jax.numpy as jnp
@@ -55,6 +60,17 @@ class SolveResult(NamedTuple):
     failed_line_search: jnp.ndarray  # () bool: bailed out
 
 
+class IlqrCarry(NamedTuple):
+    X: jnp.ndarray
+    U: jnp.ndarray
+    J_star: jnp.ndarray
+    mu: jnp.ndarray
+    delta: jnp.ndarray
+    i: jnp.ndarray
+    converged: jnp.ndarray
+    failed: jnp.ndarray
+
+
 def line_search_alphas(n_ls_iter: int, dtype) -> np.ndarray:
     """``1.1 ** (-i^2)`` computed in float32 like the reference
     (dpilqr/control.py:162), cast to the solve dtype."""
@@ -62,14 +78,13 @@ def line_search_alphas(n_ls_iter: int, dtype) -> np.ndarray:
     return np.asarray(np.float32(1.1) ** (-(i**2)), dtype=dtype)
 
 
-def rollout(fleet: Fleet, cost: GameCost, x0, U):
+def _rollout_fn(step_fn, cost: GameCost, x0, U):
     """Nonlinear rollout accumulating cost (reference control.py:80-93)."""
-    step = fleet.step
 
     def body(carry, u_t):
         x, J = carry
         J = J + stage_cost(cost, x, u_t)
-        x_next = step(x, u_t)
+        x_next = step_fn(x, u_t)
         return (x_next, J), x_next
 
     (x_last, J), X_rest = jax.lax.scan(body, (x0, jnp.zeros((), x0.dtype)), U)
@@ -78,11 +93,15 @@ def rollout(fleet: Fleet, cost: GameCost, x0, U):
     return X, J
 
 
-def _forward_pass(fleet: Fleet, cost: GameCost, X, U, K, d, alpha):
+def rollout(fleet: Fleet, cost: GameCost, x0, U):
+    """Public rollout on a static fleet."""
+    return _rollout_fn(fleet.step, cost, x0, U)
+
+
+def _forward_pass(step_fn, cost: GameCost, X, U, K, d, alpha):
     """Closed-loop rollout ``du = K dx + alpha d`` (reference control.py:95-114)."""
-    n, nx_p = X.shape[1], X.shape[2]
+    n = X.shape[1]
     nu_p = U.shape[2]
-    step = fleet.step
 
     def body(carry, inp):
         x, J = carry
@@ -91,7 +110,7 @@ def _forward_pass(fleet: Fleet, cost: GameCost, X, U, K, d, alpha):
         du = K_t @ dx + alpha * d_t
         u_new = U_t + du.reshape(n, nu_p)
         J = J + stage_cost(cost, x, u_new)
-        x_next = step(x, u_new)
+        x_next = step_fn(x, u_new)
         return (x_next, J), (x, u_new)
 
     (x_last, J), (X_prev, U_new) = jax.lax.scan(
@@ -102,16 +121,15 @@ def _forward_pass(fleet: Fleet, cost: GameCost, X, U, K, d, alpha):
     return X_new, U_new, J
 
 
-def _backward_pass(fleet: Fleet, cost: GameCost, X, U, mu):
+def _backward_pass(lin_fn, cost: GameCost, X, U, mu):
     """Block Riccati recursion (reference control.py:116-148).
 
     Returns flat gains ``K: (N, n*nu_p, n*nx_p)`` and ``d: (N, n*nu_p)``.
     """
-    N, n, nx_p = U.shape[0], X.shape[1], X.shape[2]
+    n, nx_p = X.shape[1], X.shape[2]
     nu_p = U.shape[2]
     nxf, nuf = n * nx_p, n * nu_p
     dtype = X.dtype
-    linearize = fleet.linearize
     bmask = cost.agent_mask
 
     L_xT, L_xxT = quadraticize_terminal(cost, X[-1])
@@ -124,7 +142,7 @@ def _backward_pass(fleet: Fleet, cost: GameCost, X, U, mu):
         x_t, u_t = inp
 
         L_x, L_u, L_xx, L_uu = quadraticize_stage(cost, x_t, u_t)
-        A, B = linearize(x_t, u_t)  # (n, nx, nx), (n, nx, nu)
+        A, B = lin_fn(x_t, u_t)  # (n, nx, nx), (n, nx, nu)
         # Zero padded-slot input maps: keeps the padded Riccati recursion
         # exactly decoupled from real agents (see ops/costs.py docstring).
         B = B * bmask[:, None, None]
@@ -163,25 +181,120 @@ def _backward_pass(fleet: Fleet, cost: GameCost, X, U, mu):
     return K, d
 
 
-def make_solver(fleet: Fleet, N: int, config: SolverConfig = DEFAULT_CONFIG):
-    """Build the jitted solve function for a fleet and horizon.
+def make_iteration_fn(
+    step_fn: Callable, lin_fn: Callable, cfg: SolverConfig
+) -> Callable:
+    """One iLQR iteration: backward pass + batched line search + accept.
 
-    Returns ``solve(cost: GameCost, x0: (n, nx_p), U0: (N, n, nu_p) | None)
-    -> SolveResult``.  The function is pure and vmap-able over a leading
-    problem axis on ``(cost, x0, U0)``.
+    ``iterate(cost, carry) -> carry``.  Used by both the fused while_loop
+    solve and the host-steppable real-time solve.
     """
-    cfg = config
 
-    def solve(cost: GameCost, x0, U0):
-        return _ilqr_solve(fleet, N, cfg, cost, x0, U0)
+    def iterate(cost: GameCost, c: IlqrCarry) -> IlqrCarry:
+        dtype = c.X.dtype
+        alphas = jnp.asarray(line_search_alphas(cfg.n_ls_iter, dtype))
+        K, d = _backward_pass(lin_fn, cost, c.X, c.U, c.mu)
 
-    return jax.jit(solve)
+        def _fwd(alpha):
+            return _forward_pass(step_fn, cost, c.X, c.U, K, d, alpha)
+
+        X_c, U_c, J_c = jax.vmap(_fwd)(alphas)
+
+        improved = J_c < c.J_star  # (n_ls,)
+        accept = jnp.any(improved)
+        a_idx = jnp.argmax(improved)  # first improving alpha
+        X_new = jnp.where(accept, X_c[a_idx], c.X)
+        U_new = jnp.where(accept, U_c[a_idx], c.U)
+        J_new = jnp.where(accept, J_c[a_idx], c.J_star)
+
+        converged = accept & (
+            jnp.abs(
+                (c.J_star - J_new)
+                / jnp.maximum(jnp.abs(c.J_star), jnp.finfo(dtype).tiny)
+            )
+            < cfg.tol
+        )
+
+        # Decrease regularization on acceptance (reference control.py:232-237).
+        delta_dec = jnp.minimum(1.0, c.delta) / cfg.delta_0
+        mu_dec = c.mu * delta_dec
+        mu_dec = jnp.where(mu_dec <= cfg.mu_min, 0.0, mu_dec)
+        mu_new = jnp.where(accept, mu_dec, c.mu)
+        delta_new = jnp.where(accept, delta_dec, c.delta)
+
+        return IlqrCarry(
+            X=X_new,
+            U=U_new,
+            J_star=J_new,
+            mu=mu_new,
+            delta=delta_new,
+            i=c.i + 1,
+            converged=converged,
+            failed=~accept,
+        )
+
+    return iterate
+
+
+def init_carry(step_fn, cfg: SolverConfig, cost: GameCost, x0, U0) -> IlqrCarry:
+    dtype = x0.dtype
+    X0, J0 = _rollout_fn(step_fn, cost, x0, U0)
+    return IlqrCarry(
+        X=X0,
+        U=U0,
+        J_star=J0,
+        mu=jnp.asarray(cfg.mu_init, dtype),
+        delta=jnp.asarray(cfg.delta_0, dtype),
+        i=jnp.zeros((), jnp.int32),
+        converged=jnp.zeros((), bool),
+        failed=jnp.zeros((), bool),
+    )
+
+
+def solve_core(
+    step_fn: Callable,
+    lin_fn: Callable,
+    cfg: SolverConfig,
+    cost: GameCost,
+    x0,
+    U0,
+    enabled=True,
+) -> SolveResult:
+    """Full iLQR solve given dynamics callables.
+
+    ``enabled=False`` skips all iterations (used for ignored agents in the
+    distributed layer, reference distributed.py:59-63) -- the result is the
+    plain rollout of ``U0``.
+    """
+    iterate = make_iteration_fn(step_fn, lin_fn, cfg)
+    c0 = init_carry(step_fn, cfg, cost, x0, U0)
+    enabled = jnp.asarray(enabled, bool)
+
+    def cond(c: IlqrCarry):
+        return enabled & (c.i < cfg.n_lqr_iter) & ~c.converged & ~c.failed
+
+    out = jax.lax.while_loop(cond, partial_iterate(iterate, cost), c0)
+    return SolveResult(
+        X=out.X,
+        U=out.U,
+        J=out.J_star,
+        iters=out.i,
+        converged=out.converged,
+        failed_line_search=out.failed,
+    )
+
+
+def partial_iterate(iterate, cost):
+    def body(c):
+        return iterate(cost, c)
+
+    return body
 
 
 @partial(jax.jit, static_argnums=(0, 1, 2))
 def _ilqr_solve(fleet: Fleet, N: int, cfg: SolverConfig, cost: GameCost, x0, U0):
     dtype = x0.dtype
-    n, nx_p = x0.shape
+    n = x0.shape[0]
     nu_p = fleet.nu_p
     # The solve is dtype-polymorphic in x0: cast the cost pytree so a float32
     # problem stays float32 end to end (TPU fast path).
@@ -193,82 +306,20 @@ def _ilqr_solve(fleet: Fleet, N: int, cfg: SolverConfig, cost: GameCost, x0, U0)
         U0 = jnp.zeros((N, n, nu_p), dtype=dtype)
     else:
         U0 = U0.astype(dtype)
-    alphas = jnp.asarray(line_search_alphas(cfg.n_ls_iter, dtype))
+    return solve_core(fleet.step, fleet.linearize, cfg, cost, x0, U0)
 
-    X0, J0 = rollout(fleet, cost, x0, U0)
 
-    def _fwd(X, U, K, d, alpha):
-        return _forward_pass(fleet, cost, X, U, K, d, alpha)
+def make_solver(fleet: Fleet, N: int, config: SolverConfig = DEFAULT_CONFIG):
+    """Build the jitted solve function for a fleet and horizon.
 
-    fwd_batch = jax.vmap(_fwd, in_axes=(None, None, None, None, 0))
+    Returns ``solve(cost: GameCost, x0: (n, nx_p), U0: (N, n, nu_p))
+    -> SolveResult``, pure and vmap-able over a leading problem axis.
+    """
 
-    class Carry(NamedTuple):
-        X: jnp.ndarray
-        U: jnp.ndarray
-        J_star: jnp.ndarray
-        mu: jnp.ndarray
-        delta: jnp.ndarray
-        i: jnp.ndarray
-        converged: jnp.ndarray
-        failed: jnp.ndarray
+    def solve(cost: GameCost, x0, U0):
+        return _ilqr_solve(fleet, N, config, cost, x0, U0)
 
-    def cond(c: Carry):
-        return (c.i < cfg.n_lqr_iter) & ~c.converged & ~c.failed
-
-    def body(c: Carry):
-        K, d = _backward_pass(fleet, cost, c.X, c.U, c.mu)
-        X_c, U_c, J_c = fwd_batch(c.X, c.U, K, d, alphas)
-
-        improved = J_c < c.J_star  # (n_ls,)
-        accept = jnp.any(improved)
-        a_idx = jnp.argmax(improved)  # first improving alpha
-        X_new = jnp.where(accept, X_c[a_idx], c.X)
-        U_new = jnp.where(accept, U_c[a_idx], c.U)
-        J_new = jnp.where(accept, J_c[a_idx], c.J_star)
-
-        converged = accept & (
-            jnp.abs((c.J_star - J_new) / jnp.maximum(jnp.abs(c.J_star), jnp.finfo(dtype).tiny))
-            < cfg.tol
-        )
-
-        # Decrease regularization on acceptance (reference control.py:232-237).
-        delta_dec = jnp.minimum(1.0, c.delta) / cfg.delta_0
-        mu_dec = c.mu * delta_dec
-        mu_dec = jnp.where(mu_dec <= cfg.mu_min, 0.0, mu_dec)
-        mu_new = jnp.where(accept, mu_dec, c.mu)
-        delta_new = jnp.where(accept, delta_dec, c.delta)
-
-        return Carry(
-            X=X_new,
-            U=U_new,
-            J_star=J_new,
-            mu=mu_new,
-            delta=delta_new,
-            i=c.i + 1,
-            converged=converged,
-            failed=~accept,
-        )
-
-    init = Carry(
-        X=X0,
-        U=U0,
-        J_star=J0,
-        mu=jnp.asarray(cfg.mu_init, dtype),
-        delta=jnp.asarray(cfg.delta_0, dtype),
-        i=jnp.zeros((), jnp.int32),
-        converged=jnp.zeros((), bool),
-        failed=jnp.zeros((), bool),
-    )
-    out = jax.lax.while_loop(cond, body, init)
-
-    return SolveResult(
-        X=out.X,
-        U=out.U,
-        J=out.J_star,
-        iters=out.i,
-        converged=out.converged,
-        failed_line_search=out.failed,
-    )
+    return jax.jit(solve)
 
 
 def ilqr_solve(
@@ -302,7 +353,56 @@ def ilqr_solve(
             f"got {U0.shape}"
         )
     if cost.xf.shape[0] != n:
-        raise ValueError(
-            f"cost has {cost.xf.shape[0]} agents but fleet has {n}"
-        )
+        raise ValueError(f"cost has {cost.xf.shape[0]} agents but fleet has {n}")
     return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
+
+
+def ilqr_solve_steppable(
+    fleet: Fleet,
+    cost: GameCost,
+    x0,
+    U0=None,
+    N: int | None = None,
+    config: SolverConfig = DEFAULT_CONFIG,
+    t_kill: float | None = None,
+    verbose: bool = False,
+) -> SolveResult:
+    """Host-stepped solve honoring a wall-clock deadline.
+
+    Mirrors the reference's ``t_kill`` contract (control.py:213-218): each
+    iLQR iteration is one jitted device program; between iterations the host
+    checks the deadline and stops accepting further work.  Slightly slower
+    than the fused solve (one dispatch per iteration) -- use only when a
+    real-time deadline is required.
+    """
+    from time import perf_counter
+
+    x0 = jnp.asarray(x0)
+    if U0 is None:
+        U0 = jnp.zeros((N, fleet.n_agents, fleet.nu_p), dtype=x0.dtype)
+    U0 = jnp.asarray(U0, dtype=x0.dtype)
+    cfg = config
+
+    iterate = jax.jit(make_iteration_fn(fleet.step, fleet.linearize, cfg))
+    carry = init_carry(fleet.step, cfg, cost, x0, U0)
+
+    t0 = perf_counter()
+    for i in range(cfg.n_lqr_iter):
+        carry = iterate(cost, carry)
+        # Host sync: J_star is tiny; this also paces the deadline check.
+        J = float(carry.J_star)
+        if verbose:
+            print(f"{i + 1}/{cfg.n_lqr_iter}\tJ: {J:g}")
+        if bool(carry.failed) or bool(carry.converged):
+            break
+        if t_kill is not None and perf_counter() - t0 > t_kill:
+            break
+
+    return SolveResult(
+        X=carry.X,
+        U=carry.U,
+        J=carry.J_star,
+        iters=carry.i,
+        converged=carry.converged,
+        failed_line_search=carry.failed,
+    )

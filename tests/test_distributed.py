@@ -1,0 +1,232 @@
+"""Distributed-layer tests: graph semantics, batching invariants, and
+equivalence properties (padded/batched subproblem solves == standalone
+solves -- the key correctness property behind the TPU-batched design).
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+import dpilqr_tpu as dtl
+from dpilqr_tpu.parallel import gather_subproblems
+
+
+def _uni_cost(n, xf, radius):
+    return dtl.make_game_cost(
+        xf,
+        np.tile(np.eye(4), (n, 1, 1)),
+        np.tile(np.eye(2), (n, 1, 1)),
+        np.tile(1e3 * np.eye(4), (n, 1, 1)),
+        radius=radius,
+    )
+
+
+class TestInteractionGraph:
+    def test_threshold_semantics(self):
+        # Agents 0,1 within 2*radius; agent 2 far away.
+        radius = 0.5
+        X = np.zeros((1, 3, 4))
+        X[0, 0, :2] = [0.0, 0.0]
+        X[0, 1, :2] = [0.9, 0.0]  # d = 0.9 < 1.0 = 2r
+        X[0, 2, :2] = [5.0, 5.0]
+        M = np.asarray(dtl.interaction_graph(jnp.asarray(X), radius))
+        expect = np.array(
+            [[1, 1, 0], [1, 1, 0], [0, 0, 1]], dtype=bool
+        )
+        assert (M == expect).all()
+
+    def test_samples_over_trajectory(self):
+        # Agents apart at t=0 but crossing mid-trajectory -> coupled.
+        radius = 0.5
+        T = 21
+        X = np.zeros((T, 2, 4))
+        X[:, 0, 0] = np.linspace(-2, 2, T)
+        X[:, 1, 0] = np.linspace(2, -2, T)
+        M = np.asarray(dtl.interaction_graph(jnp.asarray(X), radius))
+        assert M.all()
+
+    def test_graph_to_dict(self):
+        M = jnp.asarray(np.array([[1, 1, 0], [1, 1, 0], [0, 0, 1]], dtype=bool))
+        d = dtl.graph_to_dict(M, ids=[100, 101, 102])
+        assert d == {100: [100, 101], 101: [100, 101], 102: [102]}
+
+
+class TestGatherPlan:
+    def test_members_sorted_and_padded(self):
+        M = jnp.asarray(
+            np.array([[1, 0, 1, 0], [0, 1, 0, 0], [1, 0, 1, 1], [0, 0, 1, 1]], bool)
+        )
+        b = gather_subproblems(M)
+        mi = np.asarray(b.member_idx)
+        mm = np.asarray(b.member_mask)
+        assert mi[0, :2].tolist() == [0, 2] and mm[0].tolist() == [1, 1, 0, 0]
+        assert mi[1, 0] == 1 and mm[1].tolist() == [1, 0, 0, 0]
+        assert mi[2, :3].tolist() == [0, 2, 3]
+        assert np.asarray(b.sizes).tolist() == [2, 1, 3, 2]
+        # Owner slot: position of i in its sorted member list.
+        assert np.asarray(b.owner_slot).tolist() == [0, 0, 1, 1]
+
+    def test_truncation(self):
+        M = jnp.ones((4, 4), bool)
+        b = gather_subproblems(M, K=2)
+        assert np.asarray(b.member_idx).shape == (4, 2)
+        # Owner of agent 3 would be dropped by ascending-index truncation;
+        # sizes still report the true neighborhood.
+        assert np.asarray(b.sizes).tolist() == [4, 4, 4, 4]
+
+
+class TestDistributedEquivalence:
+    def test_fully_connected_equals_centralized(self):
+        """When every agent is in every subproblem, each subproblem IS the
+        centralized problem; owner extraction must reproduce it exactly."""
+        n, dt, N, radius = 3, 0.1, 15, 10.0  # huge radius -> complete graph
+        fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)
+        x0 = np.array([[-1.0, 0.0, 0, 0], [1.0, 0.3, 0, 0], [0.0, -1.0, 0, 0]])
+        xf = np.array([[1.0, 0.0, 0, 0], [-1.0, 0.3, 0, 0], [0.0, 1.0, 0, 0]])
+        cost = _uni_cost(n, xf, radius)
+        U0 = jnp.zeros((N, n, 2))
+
+        res_c = dtl.ilqr_solve(fleet, cost, jnp.asarray(x0), U0=U0)
+        res_d = dtl.solve_distributed(
+            fleet, cost, jnp.asarray(x0)[None], U0, radius
+        )
+        assert np.asarray(res_d.membership).all()
+        assert int(res_c.iters) == int(np.asarray(res_d.iters)[0])
+        # Equivalence is exact in exact arithmetic; under vmap the einsum
+        # reduction order differs, so allow tiny fp drift per iteration.
+        assert np.allclose(np.asarray(res_d.X), np.asarray(res_c.X), atol=1e-7)
+        assert np.allclose(np.asarray(res_d.U), np.asarray(res_c.U), atol=1e-7)
+        assert np.isclose(float(res_d.J), float(res_c.J), rtol=1e-8)
+
+    def test_disconnected_equals_solo_solves(self):
+        """Far-apart agents decompose into singleton problems identical to
+        solving each agent alone."""
+        dt, N = 0.1, 15
+        n = 3
+        fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, dt)
+        x0 = np.zeros((n, 4))
+        xf = np.zeros((n, 4))
+        for i in range(n):
+            x0[i, :2] = [100.0 * i, 0.0]
+            xf[i, :2] = [100.0 * i + 2.0, 1.0]
+        cost = _uni_cost(n, xf, radius=0.5)
+        U0 = jnp.zeros((N, n, 2))
+        res_d = dtl.solve_distributed(
+            fleet, cost, jnp.asarray(x0)[None], U0, 0.5
+        )
+        assert np.asarray(res_d.sizes).tolist() == [1, 1, 1]
+
+        fleet1 = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, 1, dt)
+        for i in range(n):
+            cost1 = _uni_cost(1, xf[i : i + 1], radius=0.5)
+            res1 = dtl.ilqr_solve(
+                fleet1, cost1, jnp.asarray(x0[i : i + 1]), N=N
+            )
+            assert np.allclose(
+                np.asarray(res_d.X)[:, i], np.asarray(res1.X)[:, 0], atol=1e-9
+            )
+
+    def test_ignored_agents_stay_zero(self):
+        n, dt, N = 2, 0.1, 10
+        fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)
+        x0 = np.array([[0.0, 0, 0, 0], [10.0, 0, 0, 0]])
+        xf = np.array([[1.0, 0, 0, 0], [11.0, 0, 0, 0]])
+        cost = _uni_cost(n, xf, radius=0.5)
+        res = dtl.solve_distributed(
+            fleet, cost, jnp.asarray(x0)[None], jnp.zeros((N, n, 2)), 0.5,
+            ignore_mask=np.array([False, True]),
+        )
+        assert np.allclose(np.asarray(res.X)[:, 1], 0.0)
+        assert np.allclose(np.asarray(res.U)[:, 1], 0.0)
+        assert not np.allclose(np.asarray(res.X)[:, 0], 0.0)
+
+    def test_heterogeneous_fleet_dynamic_dispatch(self):
+        """Mixed-model fleet through the distributed path: each slot must
+        integrate its gathered agent's model."""
+        dt, N = 0.05, 10
+        fleet = dtl.Fleet((dtl.QUAD_6D, dtl.HUMAN_LIN_6D), dt)
+        x0 = np.array([[0.0, 0, 1, 0, 0, 0], [100.0, 0, 1, 0, 0, 0]])
+        xf = np.array([[1.0, 0, 1, 0, 0, 0], [101.0, 1, 1, 0, 0, 0]])
+        cost = dtl.make_game_cost(
+            xf,
+            np.tile(np.eye(6), (2, 1, 1)),
+            np.tile(0.1 * np.eye(3), (2, 1, 1)),
+            np.tile(1e3 * np.eye(6), (2, 1, 1)),
+            radius=0.3,
+            n_pos=np.array([3, 2]),
+        )
+        U0 = np.zeros((N, 2, 3))
+        U0[:, 0, 0] = dtl.GRAVITY
+        res = dtl.solve_distributed(
+            fleet, cost, jnp.asarray(x0)[None], jnp.asarray(U0), 0.3
+        )
+        X = np.asarray(res.X)
+        # Quad reaches its goal in 3D; human's z stays fixed (HumanLin6D).
+        assert np.linalg.norm(X[-1, 0, :3] - xf[0, :3]) < 0.1
+        assert np.allclose(X[:, 1, 2], 1.0)
+        # Short horizon: the human closes most of the 1.4 m gap.
+        start_err = np.linalg.norm(x0[1, :2] - xf[1, :2])
+        assert np.linalg.norm(X[-1, 1, :2] - xf[1, :2]) < 0.3 * start_err
+
+
+class TestSelfishWarmstart:
+    def test_matches_solo_solves(self):
+        dt, N = 0.1, 12
+        n = 2
+        fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, dt)
+        x0 = np.array([[0.0, 0, 0, 0], [0.5, 0, 0, 0]])  # close together
+        xf = np.array([[1.0, 1, 0, 0], [-1.0, 1, 0, 0]])
+        cost = _uni_cost(n, xf, radius=5.0)
+        U_warm = dtl.selfish_warmstart(fleet, cost, jnp.asarray(x0), N)
+
+        fleet1 = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, 1, dt)
+        for i in range(n):
+            cost1 = _uni_cost(1, xf[i : i + 1], radius=5.0)
+            res1 = dtl.ilqr_solve(fleet1, cost1, jnp.asarray(x0[i : i + 1]), N=N)
+            assert np.allclose(
+                np.asarray(U_warm)[:, i], np.asarray(res1.U)[:, 0], atol=1e-9
+            )
+
+
+class TestRhc:
+    def test_centralized_rhc_converges(self):
+        n, dt, N = 2, 0.1, 20
+        fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)
+        x0 = np.array([[-1.0, 0.2, 0, 0], [1.0, -0.2, 0, 0]])
+        xf = np.array([[1.0, 0.2, 0, 0], [-1.0, -0.2, 0, 0]])
+        cost = _uni_cost(n, xf, radius=0.3)
+        res = dtl.solve_rhc(
+            fleet, cost, x0, N, centralized=True, step_size=2,
+            dist_converge=0.1, t_diverge=10.0, rng=np.random.default_rng(0),
+        )
+        assert res.converged
+        final = res.X[-1]
+        assert np.all(
+            np.linalg.norm(final[:, :2] - xf[:, :2], axis=1) < 0.5
+        )
+
+    def test_distributed_rhc_converges(self):
+        n, dt, N = 2, 0.1, 20
+        fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)
+        x0 = np.array([[-1.0, 0.2, 0, 0], [1.0, -0.2, 0, 0]])
+        xf = np.array([[1.0, 0.2, 0, 0], [-1.0, -0.2, 0, 0]])
+        cost = _uni_cost(n, xf, radius=0.3)
+        res = dtl.solve_rhc(
+            fleet, cost, x0, N, radius=0.3, centralized=False, step_size=2,
+            dist_converge=0.1, t_diverge=10.0, rng=np.random.default_rng(0),
+        )
+        assert res.converged
+        assert res.steps[0].graph is not None
+
+    def test_t_kill_caps_solve_time(self):
+        n, dt, N = 2, 0.1, 20
+        fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)
+        x0 = np.array([[-1.0, 0.2, 0, 0], [1.0, -0.2, 0, 0]])
+        xf = np.array([[1.0, 0.2, 0, 0], [-1.0, -0.2, 0, 0]])
+        cost = _uni_cost(n, xf, radius=0.3)
+        res = dtl.solve_rhc(
+            fleet, cost, x0, N, centralized=True, step_size=2,
+            dist_converge=0.1, t_diverge=6.0, t_kill=0.5,
+            rng=np.random.default_rng(0),
+        )
+        # Deadline mode still makes progress (may or may not fully converge).
+        assert res.X.shape[0] >= 1

@@ -1,0 +1,57 @@
+"""Multi-device tests on the virtual 8-device CPU mesh: the sharded
+decomposed solve must produce the same result as the unsharded one."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import dpilqr_tpu as dtl
+
+cpu_devices = jax.devices("cpu")
+
+pytestmark = pytest.mark.skipif(
+    len(cpu_devices) < 8, reason="needs XLA_FLAGS=--xla_force_host_platform_device_count=8"
+)
+
+
+def _scenario(n, dt=0.1, seed=0):
+    rng = np.random.default_rng(seed)
+    x0, xf = dtl.random_setup(n, 4, rng=rng, energy=10.0, n_d=2)
+    cost = dtl.make_game_cost(
+        xf,
+        np.tile(np.eye(4), (n, 1, 1)),
+        np.tile(np.eye(2), (n, 1, 1)),
+        np.tile(1e3 * np.eye(4), (n, 1, 1)),
+        radius=0.5,
+    )
+    fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, dt)
+    return fleet, cost, x0, xf
+
+
+def test_sharded_matches_unsharded():
+    n, N = 8, 20
+    fleet, cost, x0, xf = _scenario(n)
+    U0 = jnp.zeros((N, n, 2))
+    mesh = dtl.make_mesh(cpu_devices[:8])
+
+    res = dtl.solve_distributed(fleet, cost, jnp.asarray(x0)[None], U0, 0.5)
+    res_s = dtl.solve_distributed_sharded(
+        fleet, cost, jnp.asarray(x0)[None], U0, 0.5, mesh=mesh
+    )
+    assert np.asarray(res.membership).tolist() == np.asarray(res_s.membership).tolist()
+    assert np.asarray(res.iters).tolist() == np.asarray(res_s.iters).tolist()
+    assert np.allclose(np.asarray(res.X), np.asarray(res_s.X), atol=1e-8)
+    assert np.isclose(float(res.J), float(res_s.J), rtol=1e-8)
+
+
+def test_sharded_output_layout():
+    n, N = 8, 10
+    fleet, cost, x0, xf = _scenario(n, seed=1)
+    U0 = jnp.zeros((N, n, 2))
+    mesh = dtl.make_mesh(cpu_devices[:8])
+    res = dtl.solve_distributed_sharded(
+        fleet, cost, jnp.asarray(x0)[None], U0, 0.5, mesh=mesh
+    )
+    # Per-subproblem outputs are sharded over the mesh.
+    assert len(res.iters.sharding.device_set) == 8

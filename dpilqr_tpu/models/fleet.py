@@ -128,7 +128,11 @@ class Fleet:
         if len(branches) == 1:
             fn = branches[0]
             return jax.vmap(fn)
-        idx = jnp.asarray(self._branch_index)
+        # NOTE: keep the branch index as a host numpy array.  These dispatch
+        # closures are cached on the Fleet (cached_property) and reused
+        # across jit traces; a jnp array materialized here during a trace
+        # would leak that trace's tracer into later ones.
+        idx = self._branch_index
 
         def per_agent(i, x, u):
             return jax.lax.switch(i, branches, x, u)
@@ -136,7 +140,7 @@ class Fleet:
         vm = jax.vmap(per_agent, in_axes=(0, 0, 0))
 
         def fleet_fn(x, u):
-            return vm(idx, x, u)
+            return vm(jnp.asarray(idx), x, u)
 
         return fleet_fn
 

@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Multi-host pod-slice launcher for Monte-Carlo / scaling runs.
+
+The reference's multi-node story is a SLURM batch script running analysis.py
+on one 16-core node (reference cluster/sim.sbatch).  The TPU-native
+equivalent: launch this script on every host of a pod slice (e.g. with
+`gcloud compute tpus tpu-vm ssh --worker=all`), `jax.distributed.initialize`
+discovers the slice, and the global mesh spans all chips over ICI/DCN.  The
+subproblem batch and Monte-Carlo trial axes shard over the global device
+mesh; each host feeds its local shard.
+
+On a single host this degrades gracefully to the local devices, so the same
+entry point serves laptops, one TPU VM and full slices.
+
+Usage (each host):
+  python cluster/run_pod.py --agents 64 --trials 4
+"""
+
+import argparse
+import json
+from time import perf_counter
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--agents", type=int, default=64)
+    ap.add_argument("--horizon", type=int, default=50)
+    ap.add_argument("--trials", type=int, default=2)
+    ap.add_argument("--radius", type=float, default=0.5)
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator address for jax.distributed (multi-host)")
+    ap.add_argument("--num-hosts", type=int, default=None)
+    ap.add_argument("--host-id", type=int, default=None)
+    ap.add_argument("--cpu", action="store_true")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.coordinator:
+        jax.distributed.initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_hosts,
+            process_id=args.host_id,
+        )
+    if args.cpu:
+        jax.config.update("jax_default_device", jax.devices("cpu")[0])
+
+    import jax.numpy as jnp
+
+    import dpilqr_tpu as dtl
+
+    devices = jax.devices("cpu") if args.cpu else jax.devices()
+    if jax.process_index() == 0:
+        print(f"hosts={jax.process_count()} devices={len(devices)}")
+
+    mesh = dtl.make_mesh(devices)
+    n, N, dt = args.agents, args.horizon, 0.1
+    dtype = jnp.float32
+    fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, dt)
+
+    results = []
+    for trial in range(args.trials):
+        rng = np.random.default_rng(trial)
+        x0, xf = dtl.random_setup(n, 4, rng=rng, energy=10.0 + 2 * n ** 0.5)
+        cost = dtl.make_game_cost(
+            jnp.asarray(xf, dtype),
+            jnp.asarray(np.tile(np.eye(4), (n, 1, 1)), dtype),
+            jnp.asarray(np.tile(np.eye(2), (n, 1, 1)), dtype),
+            jnp.asarray(np.tile(1e3 * np.eye(4), (n, 1, 1)), dtype),
+            radius=args.radius,
+        )
+        U0 = jnp.zeros((N, n, 2), dtype)
+        res = dtl.solve_distributed_sharded(
+            fleet, cost, jnp.asarray(x0, dtype)[None], U0, args.radius,
+            mesh=mesh,
+        )
+        float(res.J)  # hard host sync (block_until_ready can be async
+        # through remote-device tunnels)
+        reps = 5
+        t0 = perf_counter()
+        for _ in range(reps):
+            res = dtl.solve_distributed_sharded(
+                fleet, cost, jnp.asarray(x0, dtype)[None], U0, args.radius,
+                mesh=mesh,
+            )
+        float(res.J)
+        wall = (perf_counter() - t0) / reps
+        results.append(
+            {
+                "trial": trial,
+                "n_agents": n,
+                "wall_s": wall,
+                "hz": 1.0 / wall,
+                "J": float(res.J),
+                "mean_subproblem": float(np.mean(np.asarray(res.sizes))),
+            }
+        )
+        if jax.process_index() == 0:
+            print(json.dumps(results[-1]))
+
+    if jax.process_index() == 0:
+        walls = [r["wall_s"] for r in results]
+        print(
+            json.dumps(
+                {
+                    "summary": "distributed solve",
+                    "n_agents": n,
+                    "devices": len(devices),
+                    "median_wall_s": float(np.median(walls)),
+                    "median_hz": float(1.0 / np.median(walls)),
+                }
+            )
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -49,9 +49,14 @@ __all__ = [
     "solve_distributed",
     "solve_rhc",
     "define_inter_graph_threshold",
+    "Point",
     "split_agents",
+    "split_agents_gen",
+    "split_graph",
+    "pos_mask",
     "uniform_block_diag",
     "compute_pairwise_distance",
+    "compute_pairwise_distance_nd",
     "_reset_ids",
 ]
 
@@ -715,9 +720,89 @@ def solve_rhc(
 
 
 # ------------------------------------------------------------------ util parity
+from dataclasses import dataclass as _dataclass
+
+
+@_dataclass
+class Point:
+    """3D point (reference util.py:20-45)."""
+
+    x: float
+    y: float
+    z: float = 0
+
+    @property
+    def ndim(self):
+        return 2 if self.z == 0 else 3
+
+    def __add__(self, o):
+        return Point(self.x + o.x, self.y + o.y, self.z + o.z)
+
+    def __sub__(self, o):
+        return Point(self.x - o.x, self.y - o.y, self.z - o.z)
+
+    def __mul__(self, o):
+        return Point(self.x * o.x, self.y * o.y, self.z * o.z)
+
+    def hypot2(self):
+        return self.x**2 + self.y**2 + self.z**2
+
+    def __repr__(self):
+        return str((self.x, self.y, self.z))
+
+
 def split_agents(Z, z_dims):
     """Column-partition a flat multi-agent array (reference util.py:90-92)."""
     return np.split(np.atleast_2d(Z), np.cumsum(z_dims[:-1]), axis=1)
+
+
+def split_agents_gen(z, z_dims):
+    """Generator version assuming uniform dims (reference util.py:95-99)."""
+    dim = z_dims[0]
+    for i in range(len(z_dims)):
+        yield z[i * dim : (i + 1) * dim]
+
+
+def split_graph(Z, z_dims, graph):
+    """Group flat columns by interaction-graph membership
+    (reference util.py:102-117)."""
+    assert len(set(z_dims)) == 1
+    mapping = {id_: i for i, id_ in enumerate(list(graph))}
+    n_z = z_dims[0]
+    out = []
+    for ids in graph.values():
+        inds = [mapping[i] for i in ids]
+        out.append(
+            np.concatenate(
+                [Z[:, i * n_z : (i + 1) * n_z] for i in inds], axis=1
+            )
+        )
+    return out
+
+
+def pos_mask(x_dims, n_d=2):
+    """Boolean mask of position components in the flat layout
+    (reference util.py:120-122)."""
+    return np.array([i % x_dims[0] < n_d for i in range(sum(x_dims))])
+
+
+def compute_pairwise_distance_nd(X, x_dims, n_dims, dec_ind=None):
+    """Heterogeneous-dimension pairwise distances (reference util.py:64-87)."""
+    import itertools
+
+    X = np.atleast_2d(np.asarray(X, float))
+    n_states = x_dims[0]
+    n_agents = len(x_dims)
+    pair_inds = list(itertools.combinations(range(n_agents), 2))
+    if dec_ind is not None:
+        pair_inds = [p for p in pair_inds if dec_ind in p]
+    cols = []
+    for i, j in pair_inds:
+        nd = min(n_dims[i], n_dims[j])
+        Xi = X[:, i * n_states : i * n_states + nd]
+        Xj = X[:, j * n_states : j * n_states + nd]
+        cols.append(np.linalg.norm(Xi - Xj, axis=1).reshape(-1, 1))
+    return np.concatenate(cols, axis=1) if cols else np.zeros((X.shape[0], 0))
 
 
 def uniform_block_diag(*arrs):

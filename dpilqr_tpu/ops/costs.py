@@ -93,21 +93,33 @@ def _pair_indices(n: int):
 def _pair_geometry(cost: GameCost, x):
     """Common pair quantities.
 
-    Returns (ii, jj, delta, d, w_pair) where ``delta: (npairs, 3)`` is the
+    Returns (delta, d, w_pair, comp) where ``delta: (npairs, 3)`` is the
     component-masked position difference, ``d: (npairs,)`` the distance and
     ``w_pair`` the pair activity weight (mask_i * mask_j * [d < r]).
+
+    All per-pair reductions are expressed through the signed/absolute
+    incidence matrices (matmuls) instead of gathers: on TPU, gather/scatter
+    lower to serial loops while these run on the MXU.  Identities used:
+    ``a_i - a_j = (W^T a)_p``, ``a_i a_j = ((|W|^T a)^2 - (W^T a)^2)/4``,
+    ``min(a_i, a_j) = (|W|^T a - |W^T a|)/2``.
     """
     n, nx_p = x.shape
-    ii, jj = _pair_indices(n)
     k = min(3, nx_p)
     pos = jnp.zeros((n, 3), dtype=x.dtype).at[:, :k].set(x[:, :k])
-    nd_pair = jnp.minimum(cost.n_pos[ii], cost.n_pos[jj])  # (npairs,)
-    comp = jnp.arange(3)[None, :] < nd_pair[:, None]  # (npairs, 3) bool
-    delta = (pos[ii] - pos[jj]) * comp
+    W = jnp.asarray(_signed_incidence(n, x.dtype))  # (n, npairs)
+    Wa = jnp.abs(W)
+
+    delta_raw = jnp.einsum("ip,ia->pa", W, pos)  # pos_i - pos_j per pair
+    n_pos = cost.n_pos.astype(x.dtype)
+    nd_pair = 0.5 * (Wa.T @ n_pos - jnp.abs(W.T @ n_pos))  # min per pair
+    comp = jnp.arange(3, dtype=x.dtype)[None, :] < nd_pair[:, None]
+    delta = delta_raw * comp
     d = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
     active = (d < cost.radius).astype(x.dtype)
-    w_pair = cost.agent_mask[ii] * cost.agent_mask[jj] * active
-    return ii, jj, delta, d, w_pair, comp
+    m = cost.agent_mask
+    m_pair = 0.25 * ((Wa.T @ m) ** 2 - (W.T @ m) ** 2)  # mask_i * mask_j
+    w_pair = m_pair * active
+    return delta, d, w_pair, comp
 
 
 def proximity_cost(cost: GameCost, x):
@@ -115,17 +127,32 @@ def proximity_cost(cost: GameCost, x):
     n = x.shape[0]
     if n < 2:
         return jnp.zeros((), dtype=x.dtype)
-    _, _, _, d, w_pair, _ = _pair_geometry(cost, x)
+    _, d, w_pair, _ = _pair_geometry(cost, x)
     pen = jnp.minimum(0.0, d - cost.radius) ** 2
     return jnp.sum(w_pair * pen)
+
+
+def _signed_incidence(n: int, dtype) -> np.ndarray:
+    """(n, npairs) matrix W with W[i, p] = +1, W[j, p] = -1 for pair p=(i,j).
+
+    Static per n; lets pair quantities scatter into agent blocks as einsums
+    (MXU matmuls) instead of TPU scatter ops (which lower to serial loops).
+    """
+    ii, jj = _pair_indices(n)
+    W = np.zeros((n, len(ii)))
+    W[ii, np.arange(len(ii))] = 1.0
+    W[jj, np.arange(len(jj))] = -1.0
+    return W.astype(dtype)
 
 
 def proximity_quadraticize(cost: GameCost, x):
     """Exact gradient/Hessian of the proximity penalty in block layout.
 
     Returns ``L_x: (n, nx_p)`` and ``L_xx: (n, nx_p, n, nx_p)``.
-    Matches the reference closed form (cost.py:269-315) scattered per pair
-    into ``(+i,+i), (+j,+j), (-i,j), (-j,i)`` blocks (cost.py:160-166).
+    Matches the reference closed form (cost.py:269-315): per pair p=(i,j) the
+    Hessian block H_p lands at ``(+ii, +jj, -ij, -ji)`` (cost.py:160-166) --
+    expressed here as the signed-incidence sandwich ``W H W^T`` so the
+    scatter becomes two batched matmuls.
     """
     n, nx_p = x.shape
     L_x = jnp.zeros((n, nx_p), dtype=x.dtype)
@@ -133,7 +160,7 @@ def proximity_quadraticize(cost: GameCost, x):
     if n < 2:
         return L_x, L_xx
 
-    ii, jj, delta, d, w_pair, comp = _pair_geometry(cost, x)
+    delta, d, w_pair, comp = _pair_geometry(cost, x)
     r = cost.radius
     d_safe = jnp.maximum(d, _EPS)
 
@@ -152,12 +179,12 @@ def proximity_quadraticize(cost: GameCost, x):
     g = g[:, :k]
     H = H[:, :k, :k]
 
-    L_x = L_x.at[ii, :k].add(g)
-    L_x = L_x.at[jj, :k].add(-g)
-    L_xx = L_xx.at[ii, :k, ii, :k].add(H)
-    L_xx = L_xx.at[jj, :k, jj, :k].add(H)
-    L_xx = L_xx.at[ii, :k, jj, :k].add(-H)
-    L_xx = L_xx.at[jj, :k, ii, :k].add(-H)
+    W = jnp.asarray(_signed_incidence(n, x.dtype))  # (n, npairs)
+    L_x = L_x.at[:, :k].set(jnp.einsum("ip,pa->ia", W, g))
+    # (W H W^T) in block form: sum_p W[i,p] W[j,p] H_p.
+    L_xx = L_xx.at[:, :k, :, :k].set(
+        jnp.einsum("ip,pab,jp->iajb", W, H, W)
+    )
     return L_x, L_xx
 
 
@@ -207,9 +234,10 @@ def quadraticize_stage(cost: GameCost, x, u):
     L_u = L_u + 2.0 * (1.0 - m)[:, None] * u
     L_uu = L_uu + 2.0 * (1.0 - m)[:, None, None] * eye_u
 
-    L_xx = jnp.zeros((n, nx_p, n, nx_p), dtype=x.dtype)
-    idx = jnp.arange(n)
-    L_xx = L_xx.at[idx, :, idx, :].set(L_xx_diag)
+    # Diagonal block embedding as a masked broadcast (scatters lower to
+    # serial loops on TPU).
+    eye_n = jnp.eye(n, dtype=x.dtype)
+    L_xx = jnp.einsum("ij,iab->iajb", eye_n, L_xx_diag)
 
     if n > 1:
         Lp_x, Lp_xx = proximity_quadraticize(cost, x)
@@ -228,9 +256,8 @@ def quadraticize_terminal(cost: GameCost, x):
     L_x = cost.ref_weight * m[:, None] * jnp.einsum("ia,iab->ib", e, QfQft)
     L_xx_diag = cost.ref_weight * m[:, None, None] * QfQft
 
-    L_xx = jnp.zeros((n, nx_p, n, nx_p), dtype=x.dtype)
-    idx = jnp.arange(n)
-    L_xx = L_xx.at[idx, :, idx, :].set(L_xx_diag)
+    eye_n = jnp.eye(n, dtype=x.dtype)
+    L_xx = jnp.einsum("ij,iab->iajb", eye_n, L_xx_diag)
 
     if n > 1:
         Lp_x, Lp_xx = proximity_quadraticize(cost, x)

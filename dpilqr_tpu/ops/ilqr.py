@@ -136,6 +136,7 @@ def _backward_pass(lin_fn, cost: GameCost, X, U, mu):
     p0 = L_xT.reshape(nxf)
     P0 = L_xxT.reshape(nxf, nxf)
     eye_f = jnp.eye(nxf, dtype=dtype)
+    eye_n = jnp.eye(n, dtype=dtype)
 
     def bw_step(carry, inp):
         p, P = carry
@@ -156,8 +157,7 @@ def _backward_pass(lin_fn, cost: GameCost, X, U, mu):
         # Block sandwiches: only the (i, j) block pairs couple, through P.
         Q_xx = L_xx + jnp.einsum("iba,ibjc,jcd->iajd", A, P4, A)
         Q_uu4 = jnp.einsum("iba,ibjc,jcd->iajd", B, Preg4, B)
-        idx = jnp.arange(n)
-        Q_uu4 = Q_uu4.at[idx, :, idx, :].add(L_uu)
+        Q_uu4 = Q_uu4 + jnp.einsum("ij,iab->iajb", eye_n, L_uu)
         Q_ux4 = jnp.einsum("iba,ibjc,jcd->iajd", B, Preg4, A)
 
         Quu = Q_uu4.reshape(nuf, nuf)

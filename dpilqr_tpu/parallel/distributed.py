@@ -117,6 +117,19 @@ def _solve_distributed(
     )
 
 
+def auto_subproblem_width(
+    X, radius, cost: GameCost, graph_n_d=None, n_max: int | None = None
+) -> int:
+    """Pick the static subproblem width: the max neighborhood size rounded
+    up to the next power of two (bucketing bounds recompiles while keeping
+    padding waste < 2x).  One tiny host sync per call."""
+    M = interaction_graph(X, radius, n_pos=cost.n_pos, n_d=graph_n_d)
+    k_max = int(jnp.max(jnp.sum(M, axis=1)))
+    K = 1 << (k_max - 1).bit_length() if k_max > 1 else 1
+    n = X.shape[1] if X.ndim == 3 else X.shape[0]
+    return min(K, n if n_max is None else n_max)
+
+
 def solve_distributed(
     fleet: Fleet,
     cost: GameCost,
@@ -135,8 +148,13 @@ def solve_distributed(
     the initial state), ``U (N, n, nu_p)`` the warm-start controls, ``radius``
     the proximity radius.  ``ignore_mask (n,) bool`` marks agents whose
     subproblems are skipped (their stitched rows stay zero, like the
-    reference's ``ignore_ids``).  ``K`` caps the subproblem width (default:
-    no truncation).
+    reference's ``ignore_ids``).
+
+    ``K`` is the static per-subproblem slot count.  By default it is chosen
+    automatically: the current maximum neighborhood size rounded up to a
+    power of two (compute scales with the true interaction density instead
+    of the fleet size; the reference's per-agent subproblems are likewise
+    neighborhood-sized, distributed.py:224-247).
     """
     X = jnp.asarray(X)
     U = jnp.asarray(U, dtype=X.dtype)
@@ -150,8 +168,9 @@ def solve_distributed(
     if ignore_mask is None:
         ignore_mask = jnp.zeros((n,), bool)
     ignore_mask = jnp.asarray(ignore_mask, bool)
-    K = n if K is None else K
     radius = jnp.asarray(radius, dtype=X.dtype)
+    if K is None:
+        K = auto_subproblem_width(X, radius, cost, graph_n_d)
     return _solve_distributed(
         fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
     )

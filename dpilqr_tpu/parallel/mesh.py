@@ -125,8 +125,11 @@ def solve_distributed_sharded(
     if ignore_mask is None:
         ignore_mask = jnp.zeros((n,), bool)
     ignore_mask = jnp.asarray(ignore_mask, bool)
-    K = n if K is None else K
     radius = jnp.asarray(radius, dtype=X.dtype)
+    if K is None:
+        from .distributed import auto_subproblem_width
+
+        K = auto_subproblem_width(X, radius, cost, graph_n_d)
     return _solve_distributed_sharded(
         fleet, config, K, graph_n_d, mesh, cost, X, U, radius, ignore_mask
     )

@@ -67,6 +67,8 @@ def solve_rhc(
     rng=None,
     verbose: bool = False,
     log_fn: Callable | None = None,
+    checkpoint_path=None,
+    resume_state=None,
 ) -> RhcResult:
     """Receding-horizon solve, centralized or decomposed.
 
@@ -94,17 +96,28 @@ def solve_rhc(
         d = np.asarray(distance_to_goal(jnp.asarray(x), jnp.asarray(xf), n_d))
         return bool(np.any(d > dist_converge))
 
-    # Small random warm start (reference distributed.py:152).
-    U = rng.uniform(size=(N, n, nu_p)) * 0.01
-    U = U * np.asarray(fleet.control_mask)[None]
-    X = x0[None].copy()  # (1, n, nx) until the first solve
+    if resume_state is not None:
+        # Resume a checkpointed run (utils/checkpoint.py).
+        xi = resume_state.xi.copy()
+        X = resume_state.X_warm.copy()
+        U = resume_state.U_warm.copy()
+        t = resume_state.t
+        X_full = resume_state.X_full.copy()
+        U_full = resume_state.U_full.copy()
+        step_count = resume_state.step
+    else:
+        # Small random warm start (reference distributed.py:152).
+        U = rng.uniform(size=(N, n, nu_p)) * 0.01
+        U = U * np.asarray(fleet.control_mask)[None]
+        X = x0[None].copy()  # (1, n, nx) until the first solve
+        xi = x0.copy()
+        t = 0.0
+        X_full = np.zeros((0, n, nx_p))
+        U_full = np.zeros((0, n, nu_p))
+        step_count = 0
 
-    xi = x0.copy()
-    t = 0.0
     J = np.inf
     converged = True
-    X_full = np.zeros((0, n, nx_p))
-    U_full = np.zeros((0, n, nu_p))
     steps: list[RhcStepInfo] = []
 
     while predicate(xi, J):
@@ -155,6 +168,19 @@ def solve_rhc(
             distance_left=dist_left,
         )
         steps.append(info)
+        step_count += 1
+        if checkpoint_path is not None:
+            from ..utils.checkpoint import RhcState, save_rhc_state
+
+            # Store the NEXT iteration's simulated time so a resumed run
+            # continues exactly where this one left off.
+            save_rhc_state(
+                checkpoint_path,
+                RhcState(
+                    xi=xi, X_warm=X, U_warm=U, t=t + step_size * dt,
+                    X_full=X_full, U_full=U_full, step=step_count,
+                ),
+            )
         if log_fn:
             log_fn(info)
         if verbose:

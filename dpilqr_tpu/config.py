@@ -7,11 +7,24 @@ parity testing against float64 oracles on CPU we enable the JAX x64 flag here
 so float64 inputs stay float64; TPU benchmarks simply pass float32 arrays.
 """
 
+import os
 from dataclasses import dataclass
 
 import jax
 
 jax.config.update("jax_enable_x64", True)
+
+# Persistent compilation cache: compiles of the fused solver programs are
+# expensive (especially through remote-compile tunnels); cache them across
+# processes.  Override the location with JAX_COMPILATION_CACHE_DIR.
+_cache_dir = os.environ.get(
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_dpilqr")
+)
+try:
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+except Exception:  # pragma: no cover - older jax without the option
+    pass
 
 
 @dataclass(frozen=True)
@@ -36,6 +49,11 @@ class SolverConfig:
     # line search failed (dpilqr/control.py:225) -- a quirk we do not copy.
     # There is no flag for that behavior; this field documents the delta.
     return_accepted_cost: bool = True
+
+    # Forward-sweep implementation: "xla" (lax.scan), "pallas" (fused VMEM
+    # kernel, TPU only), or "auto" (pallas on TPU when the problem fits
+    # VMEM).  Resolved by the solver entry points before tracing.
+    sweep_backend: str = "auto"
 
 
 DEFAULT_CONFIG = SolverConfig()

@@ -145,21 +145,17 @@ def _signed_incidence(n: int, dtype) -> np.ndarray:
     return W.astype(dtype)
 
 
-def proximity_quadraticize(cost: GameCost, x):
-    """Exact gradient/Hessian of the proximity penalty in block layout.
+def proximity_quadraticize_compact(cost: GameCost, x):
+    """Exact proximity gradient + per-pair Hessian blocks.
 
-    Returns ``L_x: (n, nx_p)`` and ``L_xx: (n, nx_p, n, nx_p)``.
-    Matches the reference closed form (cost.py:269-315): per pair p=(i,j) the
-    Hessian block H_p lands at ``(+ii, +jj, -ij, -ji)`` (cost.py:160-166) --
-    expressed here as the signed-incidence sandwich ``W H W^T`` so the
-    scatter becomes two batched matmuls.
+    Returns ``L_x: (n, nx_p)`` (already scattered into agent blocks) and the
+    compact pair Hessians ``H: (npairs, k, k)`` with ``k = min(3, nx_p)``.
+    The full coupling matrix is the signed-incidence sandwich ``W H W^T``
+    (see ``assemble_pair_hessian``) -- the compact form is what the Riccati
+    sweep stores per timestep (O(npairs * 9) instead of O((n nx)^2)).
     """
     n, nx_p = x.shape
-    L_x = jnp.zeros((n, nx_p), dtype=x.dtype)
-    L_xx = jnp.zeros((n, nx_p, n, nx_p), dtype=x.dtype)
-    if n < 2:
-        return L_x, L_xx
-
+    k = min(3, nx_p)
     delta, d, w_pair, comp = _pair_geometry(cost, x)
     r = cost.radius
     d_safe = jnp.maximum(d, _EPS)
@@ -175,17 +171,38 @@ def proximity_quadraticize(cost: GameCost, x):
     cm = comp.astype(x.dtype)
     H = H * (cm[:, :, None] * cm[:, None, :]) * w_pair[:, None, None]
 
-    k = min(3, nx_p)
-    g = g[:, :k]
-    H = H[:, :k, :k]
-
     W = jnp.asarray(_signed_incidence(n, x.dtype))  # (n, npairs)
-    L_x = L_x.at[:, :k].set(jnp.einsum("ip,pa->ia", W, g))
-    # (W H W^T) in block form: sum_p W[i,p] W[j,p] H_p.
-    L_xx = L_xx.at[:, :k, :, :k].set(
-        jnp.einsum("ip,pab,jp->iajb", W, H, W)
-    )
-    return L_x, L_xx
+    L_x = jnp.zeros((n, nx_p), dtype=x.dtype)
+    L_x = L_x.at[:, :k].set(jnp.einsum("ip,pa->ia", W, g[:, :k]))
+    return L_x, H[:, :k, :k]
+
+
+def assemble_pair_hessian(H, n: int, nx_p: int):
+    """Compact pair Hessians ``(npairs, k, k)`` -> full block coupling
+    ``(n, nx_p, n, nx_p)`` via the incidence sandwich ``W H W^T``:
+    per pair p=(i,j) the block H_p lands at ``(+ii, +jj, -ij, -ji)``
+    (reference cost.py:160-166), as two batched matmuls instead of scatters.
+    """
+    k = H.shape[-1]
+    W = jnp.asarray(_signed_incidence(n, H.dtype))  # (n, npairs)
+    L_xx = jnp.zeros((n, nx_p, n, nx_p), dtype=H.dtype)
+    return L_xx.at[:, :k, :, :k].set(jnp.einsum("ip,pab,jp->iajb", W, H, W))
+
+
+def proximity_quadraticize(cost: GameCost, x):
+    """Exact gradient/Hessian of the proximity penalty in block layout.
+
+    Returns ``L_x: (n, nx_p)`` and ``L_xx: (n, nx_p, n, nx_p)``
+    (reference closed form, cost.py:269-315).
+    """
+    n, nx_p = x.shape
+    if n < 2:
+        return (
+            jnp.zeros((n, nx_p), dtype=x.dtype),
+            jnp.zeros((n, nx_p, n, nx_p), dtype=x.dtype),
+        )
+    L_x, H = proximity_quadraticize_compact(cost, x)
+    return L_x, assemble_pair_hessian(H, n, nx_p)
 
 
 def stage_cost(cost: GameCost, x, u):
@@ -210,12 +227,15 @@ def terminal_cost(cost: GameCost, x):
     return total + cost.prox_weight * proximity_cost(cost, x)
 
 
-def quadraticize_stage(cost: GameCost, x, u):
-    """Stage quadraticization in block layout (reference cost.py:208-239).
+def quadraticize_stage_compact(cost: GameCost, x, u):
+    """Stage quadraticization in compact block form.
 
-    Returns ``L_x (n, nx_p)``, ``L_u (n, nu_p)``, ``L_xx (n, nx_p, n, nx_p)``,
-    ``L_uu (n, nu_p, nu_p)`` (block-diagonal; L_ux is identically zero for
-    this cost family, reference cost.py:93).
+    Returns ``(L_x (n, nx_p), L_u (n, nu_p), L_xx_diag (n, nx_p, nx_p),
+    L_uu (n, nu_p, nu_p), H_pair (npairs, k, k))`` with all weights applied.
+    The full state Hessian is ``diag-embed(L_xx_diag) +
+    assemble_pair_hessian(H_pair)``.  Compact form exists so the Riccati
+    sweep can quadraticize ALL timesteps as one batched computation and
+    carry only O(npairs * 9) coupling data into the sequential scan.
     """
     n, nx_p = x.shape
     m = cost.agent_mask
@@ -234,34 +254,63 @@ def quadraticize_stage(cost: GameCost, x, u):
     L_u = L_u + 2.0 * (1.0 - m)[:, None] * u
     L_uu = L_uu + 2.0 * (1.0 - m)[:, None, None] * eye_u
 
-    # Diagonal block embedding as a masked broadcast (scatters lower to
-    # serial loops on TPU).
-    eye_n = jnp.eye(n, dtype=x.dtype)
-    L_xx = jnp.einsum("ij,iab->iajb", eye_n, L_xx_diag)
-
+    k = min(3, nx_p)
     if n > 1:
-        Lp_x, Lp_xx = proximity_quadraticize(cost, x)
+        Lp_x, H = proximity_quadraticize_compact(cost, x)
         L_x = L_x + cost.prox_weight * Lp_x
-        L_xx = L_xx + cost.prox_weight * Lp_xx
+        H = cost.prox_weight * H
+    else:
+        H = jnp.zeros((0, k, k), dtype=x.dtype)
+    return L_x, L_u, L_xx_diag, L_uu, H
 
-    return L_x, L_u, L_xx, L_uu
 
-
-def quadraticize_terminal(cost: GameCost, x):
-    """Terminal quadraticization: uses Qf; proximity included (cost.py:208-239)."""
+def quadraticize_terminal_compact(cost: GameCost, x):
+    """Terminal analog of ``quadraticize_stage_compact``:
+    ``(L_x, L_xx_diag, H_pair)`` using Qf (proximity included,
+    reference cost.py:208-239)."""
     n, nx_p = x.shape
     m = cost.agent_mask
     e = x - cost.xf
     QfQft = cost.Qf + jnp.swapaxes(cost.Qf, -1, -2)
     L_x = cost.ref_weight * m[:, None] * jnp.einsum("ia,iab->ib", e, QfQft)
     L_xx_diag = cost.ref_weight * m[:, None, None] * QfQft
-
-    eye_n = jnp.eye(n, dtype=x.dtype)
-    L_xx = jnp.einsum("ij,iab->iajb", eye_n, L_xx_diag)
-
+    k = min(3, nx_p)
     if n > 1:
-        Lp_x, Lp_xx = proximity_quadraticize(cost, x)
+        Lp_x, H = proximity_quadraticize_compact(cost, x)
         L_x = L_x + cost.prox_weight * Lp_x
-        L_xx = L_xx + cost.prox_weight * Lp_xx
+        H = cost.prox_weight * H
+    else:
+        H = jnp.zeros((0, k, k), dtype=x.dtype)
+    return L_x, L_xx_diag, H
 
+
+def diag_embed(blocks):
+    """(n, a, b) block-diagonal embed -> (n, a, n, b) via eye-broadcast."""
+    n = blocks.shape[0]
+    eye_n = jnp.eye(n, dtype=blocks.dtype)
+    return jnp.einsum("ij,iab->iajb", eye_n, blocks)
+
+
+def quadraticize_stage(cost: GameCost, x, u):
+    """Stage quadraticization in block layout (reference cost.py:208-239).
+
+    Returns ``L_x (n, nx_p)``, ``L_u (n, nu_p)``, ``L_xx (n, nx_p, n, nx_p)``,
+    ``L_uu (n, nu_p, nu_p)`` (block-diagonal; L_ux is identically zero for
+    this cost family, reference cost.py:93).
+    """
+    n, nx_p = x.shape
+    L_x, L_u, L_xx_diag, L_uu, H = quadraticize_stage_compact(cost, x, u)
+    L_xx = diag_embed(L_xx_diag)
+    if n > 1:
+        L_xx = L_xx + assemble_pair_hessian(H, n, nx_p)
+    return L_x, L_u, L_xx, L_uu
+
+
+def quadraticize_terminal(cost: GameCost, x):
+    """Terminal quadraticization: uses Qf; proximity included (cost.py:208-239)."""
+    n, nx_p = x.shape
+    L_x, L_xx_diag, H = quadraticize_terminal_compact(cost, x)
+    L_xx = diag_embed(L_xx_diag)
+    if n > 1:
+        L_xx = L_xx + assemble_pair_hessian(H, n, nx_p)
     return L_x, L_xx

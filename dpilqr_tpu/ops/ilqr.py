@@ -125,7 +125,16 @@ def _backward_pass(lin_fn, cost: GameCost, X, U, mu):
     """Block Riccati recursion (reference control.py:116-148).
 
     Returns flat gains ``K: (N, n*nu_p, n*nx_p)`` and ``d: (N, n*nu_p)``.
+
+    Structure: quadraticization and linearization depend only on (X, U), so
+    they hoist OUT of the sequential sweep as one time-batched computation
+    (wide MXU/VPU work); the scan carries only the genuinely sequential
+    value-function recursion.  The proximity coupling enters the scan in
+    compact per-pair form and is assembled with the incidence sandwich
+    (2 batched matmuls) per step.
     """
+    from .costs import assemble_pair_hessian, diag_embed, quadraticize_stage_compact
+
     n, nx_p = X.shape[1], X.shape[2]
     nu_p = U.shape[2]
     nxf, nuf = n * nx_p, n * nu_p
@@ -138,29 +147,38 @@ def _backward_pass(lin_fn, cost: GameCost, X, U, mu):
     eye_f = jnp.eye(nxf, dtype=dtype)
     eye_n = jnp.eye(n, dtype=dtype)
 
+    # ---- time-batched phase (no sequential dependency) --------------------
+    L_x, L_u, L_xx_diag, L_uu, H = jax.vmap(
+        lambda x_t, u_t: quadraticize_stage_compact(cost, x_t, u_t)
+    )(X[:-1], U)
+    A, B = jax.vmap(lin_fn)(X[:-1], U)  # (N, n, nx, nx), (N, n, nx, nu)
+    # Zero padded-slot input maps: keeps the padded Riccati recursion
+    # exactly decoupled from real agents (see ops/costs.py docstring).
+    B = B * bmask[None, :, None, None]
+    # Block-diag L_uu embedded once for all t: (N, nuf, nuf).
+    L_uu_f = jnp.einsum("ij,tiab->tiajb", eye_n, L_uu).reshape(-1, nuf, nuf)
+
+    # ---- sequential sweep --------------------------------------------------
     def bw_step(carry, inp):
         p, P = carry
-        x_t, u_t = inp
+        L_x_t, L_u_t, L_xx_diag_t, L_uu_t, H_t, A_t, B_t = inp
 
-        L_x, L_u, L_xx, L_uu = quadraticize_stage(cost, x_t, u_t)
-        A, B = lin_fn(x_t, u_t)  # (n, nx, nx), (n, nx, nu)
-        # Zero padded-slot input maps: keeps the padded Riccati recursion
-        # exactly decoupled from real agents (see ops/costs.py docstring).
-        B = B * bmask[:, None, None]
+        L_xx = diag_embed(L_xx_diag_t)
+        if n > 1:
+            L_xx = L_xx + assemble_pair_hessian(H_t, n, nx_p)
 
         P4 = P.reshape(n, nx_p, n, nx_p)
         Preg4 = (P + mu * eye_f).reshape(n, nx_p, n, nx_p)
         p2 = p.reshape(n, nx_p)
 
-        Q_x = L_x + jnp.einsum("iba,ib->ia", A, p2)
-        Q_u = L_u + jnp.einsum("iba,ib->ia", B, p2)
+        Q_x = L_x_t + jnp.einsum("iba,ib->ia", A_t, p2)
+        Q_u = L_u_t + jnp.einsum("iba,ib->ia", B_t, p2)
         # Block sandwiches: only the (i, j) block pairs couple, through P.
-        Q_xx = L_xx + jnp.einsum("iba,ibjc,jcd->iajd", A, P4, A)
-        Q_uu4 = jnp.einsum("iba,ibjc,jcd->iajd", B, Preg4, B)
-        Q_uu4 = Q_uu4 + jnp.einsum("ij,iab->iajb", eye_n, L_uu)
-        Q_ux4 = jnp.einsum("iba,ibjc,jcd->iajd", B, Preg4, A)
+        Q_xx = L_xx + jnp.einsum("iba,ibjc,jcd->iajd", A_t, P4, A_t)
+        Q_uu4 = jnp.einsum("iba,ibjc,jcd->iajd", B_t, Preg4, B_t)
+        Q_ux4 = jnp.einsum("iba,ibjc,jcd->iajd", B_t, Preg4, A_t)
 
-        Quu = Q_uu4.reshape(nuf, nuf)
+        Quu = Q_uu4.reshape(nuf, nuf) + L_uu_t
         Qux = Q_ux4.reshape(nuf, nxf)
         Qu = Q_u.reshape(nuf)
         Qx = Q_x.reshape(nxf)
@@ -177,28 +195,85 @@ def _backward_pass(lin_fn, cost: GameCost, X, U, mu):
         P_new = 0.5 * (P_new + P_new.T)
         return (p_new, P_new), (K_t, d_t)
 
-    _, (K, d) = jax.lax.scan(bw_step, (p0, P0), (X[:-1], U), reverse=True)
+    _, (K, d) = jax.lax.scan(
+        bw_step, (p0, P0), (L_x, L_u, L_xx_diag, L_uu_f, H, A, B), reverse=True
+    )
     return K, d
 
 
+def resolve_sweep_backend(cfg: SolverConfig, fleet, N: int, arrays=()) -> str:
+    """Resolve ``cfg.sweep_backend`` ("auto") to "pallas" or "xla".
+
+    Pallas needs: a TPU target (inferred from the inputs' devices or the
+    default backend), uniform RK4 substeps across the fleet, and the sweep
+    working set fitting VMEM.
+    """
+    import os
+
+    env = os.environ.get("DPILQR_SWEEP_BACKEND")
+    if env:
+        return env
+    if cfg.sweep_backend != "auto":
+        return cfg.sweep_backend
+    from .pallas_sweeps import fits_vmem
+
+    on_tpu = False
+    for a in arrays:
+        try:
+            on_tpu = any(d.platform == "tpu" for d in a.devices())
+            break
+        except Exception:
+            continue
+    else:
+        on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return "xla"
+    if len({s.rk4_substeps for s in fleet.specs}) != 1:
+        return "xla"
+    if not fits_vmem(N, fleet.n_agents, fleet.nx_p, fleet.nu_p):
+        return "xla"
+    # TODO(pallas): the fused sweep kernels do not yet pass Mosaic's
+    # infer-vector-layout on real hardware (tile-crossing reshapes); "auto"
+    # stays on the XLA scan path until they do.  Opt in explicitly with
+    # sweep_backend="pallas" or DPILQR_SWEEP_BACKEND=pallas.
+    return "xla"
+
+
 def make_iteration_fn(
-    step_fn: Callable, lin_fn: Callable, cfg: SolverConfig
+    step_fn: Callable, lin_fn: Callable, cfg: SolverConfig, fleet=None
 ) -> Callable:
     """One iLQR iteration: backward pass + batched line search + accept.
 
     ``iterate(cost, carry) -> carry``.  Used by both the fused while_loop
-    solve and the host-steppable real-time solve.
+    solve and the host-steppable real-time solve.  When ``cfg.sweep_backend``
+    is "pallas" (and ``fleet`` is given), the 10-alpha line search runs as
+    one fused Pallas program instead of a vmapped lax.scan.
     """
+    use_pallas = (
+        cfg.sweep_backend in ("pallas", "pallas-interpret") and fleet is not None
+    )
+    interpret = cfg.sweep_backend == "pallas-interpret"
 
     def iterate(cost: GameCost, c: IlqrCarry) -> IlqrCarry:
         dtype = c.X.dtype
         alphas = jnp.asarray(line_search_alphas(cfg.n_ls_iter, dtype))
-        K, d = _backward_pass(lin_fn, cost, c.X, c.U, c.mu)
 
-        def _fwd(alpha):
-            return _forward_pass(step_fn, cost, c.X, c.U, K, d, alpha)
+        if use_pallas:
+            from .pallas_sweeps import backward_pass_pallas, forward_pass_pallas
 
-        X_c, U_c, J_c = jax.vmap(_fwd)(alphas)
+            K, d = backward_pass_pallas(
+                fleet, cost, c.X, c.U, c.mu, interpret=interpret
+            )
+            X_c, U_c, J_c = forward_pass_pallas(
+                fleet, cost, c.X, c.U, K, d, alphas, interpret=interpret
+            )
+        else:
+            K, d = _backward_pass(lin_fn, cost, c.X, c.U, c.mu)
+
+            def _fwd(alpha):
+                return _forward_pass(step_fn, cost, c.X, c.U, K, d, alpha)
+
+            X_c, U_c, J_c = jax.vmap(_fwd)(alphas)
 
         improved = J_c < c.J_star  # (n_ls,)
         accept = jnp.any(improved)
@@ -259,6 +334,7 @@ def solve_core(
     x0,
     U0,
     enabled=True,
+    fleet=None,
 ) -> SolveResult:
     """Full iLQR solve given dynamics callables.
 
@@ -266,7 +342,7 @@ def solve_core(
     distributed layer, reference distributed.py:59-63) -- the result is the
     plain rollout of ``U0``.
     """
-    iterate = make_iteration_fn(step_fn, lin_fn, cfg)
+    iterate = make_iteration_fn(step_fn, lin_fn, cfg, fleet=fleet)
     c0 = init_carry(step_fn, cfg, cost, x0, U0)
     enabled = jnp.asarray(enabled, bool)
 
@@ -306,7 +382,7 @@ def _ilqr_solve(fleet: Fleet, N: int, cfg: SolverConfig, cost: GameCost, x0, U0)
         U0 = jnp.zeros((N, n, nu_p), dtype=dtype)
     else:
         U0 = U0.astype(dtype)
-    return solve_core(fleet.step, fleet.linearize, cfg, cost, x0, U0)
+    return solve_core(fleet.step, fleet.linearize, cfg, cost, x0, U0, fleet=fleet)
 
 
 def make_solver(fleet: Fleet, N: int, config: SolverConfig = DEFAULT_CONFIG):
@@ -315,6 +391,11 @@ def make_solver(fleet: Fleet, N: int, config: SolverConfig = DEFAULT_CONFIG):
     Returns ``solve(cost: GameCost, x0: (n, nx_p), U0: (N, n, nu_p))
     -> SolveResult``, pure and vmap-able over a leading problem axis.
     """
+    import dataclasses
+
+    config = dataclasses.replace(
+        config, sweep_backend=resolve_sweep_backend(config, fleet, N)
+    )
 
     def solve(cost: GameCost, x0, U0):
         return _ilqr_solve(fleet, N, config, cost, x0, U0)
@@ -354,6 +435,12 @@ def ilqr_solve(
         )
     if cost.xf.shape[0] != n:
         raise ValueError(f"cost has {cost.xf.shape[0]} agents but fleet has {n}")
+    import dataclasses
+
+    config = dataclasses.replace(
+        config,
+        sweep_backend=resolve_sweep_backend(config, fleet, U0.shape[0], (x0,)),
+    )
     return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
 
 
@@ -381,9 +468,16 @@ def ilqr_solve_steppable(
     if U0 is None:
         U0 = jnp.zeros((N, fleet.n_agents, fleet.nu_p), dtype=x0.dtype)
     U0 = jnp.asarray(U0, dtype=x0.dtype)
-    cfg = config
+    import dataclasses
 
-    iterate = jax.jit(make_iteration_fn(fleet.step, fleet.linearize, cfg))
+    cfg = dataclasses.replace(
+        config,
+        sweep_backend=resolve_sweep_backend(config, fleet, U0.shape[0], (x0,)),
+    )
+
+    iterate = jax.jit(
+        make_iteration_fn(fleet.step, fleet.linearize, cfg, fleet=fleet)
+    )
     carry = init_carry(fleet.step, cfg, cost, x0, U0)
 
     t0 = perf_counter()

@@ -32,10 +32,19 @@ def _zeros_like_cols(x, n_cols):
 
 
 def _assemble(x, nx_p, cols: dict):
-    """Build (n, nx_p) xdot from a {column: value} map."""
+    """Build (n, nx_p) xdot from a {column: value} map.
+
+    Written as one-hot broadcast multiply-adds (not ``.at[].set``): each
+    column is written once onto a zero base so the sum is equivalent, and
+    it avoids the scatter primitive, which Pallas TPU cannot lower.
+    """
+    import jax.lax
+
+    col_ids = jax.lax.broadcasted_iota(jnp.int32, (1, nx_p), 1)
     out = jnp.zeros((x.shape[0], nx_p), dtype=x.dtype)
     for c, v in cols.items():
-        out = out.at[:, c].set(v)
+        hot = (col_ids == c).astype(x.dtype)
+        out = out + v[:, None] * hot
     return out
 
 

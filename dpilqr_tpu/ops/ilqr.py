@@ -230,13 +230,11 @@ def resolve_sweep_backend(cfg: SolverConfig, fleet, N: int, arrays=()) -> str:
         return "xla"
     if len({s.rk4_substeps for s in fleet.specs}) != 1:
         return "xla"
-    if not fits_vmem(N, fleet.n_agents, fleet.nx_p, fleet.nu_p):
+    if not fits_vmem(
+        N, fleet.n_agents, fleet.nx_p, fleet.nu_p, n_alpha=cfg.n_ls_iter
+    ):
         return "xla"
-    # TODO(pallas): the fused sweep kernels do not yet pass Mosaic's
-    # infer-vector-layout on real hardware (tile-crossing reshapes); "auto"
-    # stays on the XLA scan path until they do.  Opt in explicitly with
-    # sweep_backend="pallas" or DPILQR_SWEEP_BACKEND=pallas.
-    return "xla"
+    return "pallas"
 
 
 def make_iteration_fn(

@@ -9,17 +9,23 @@ instructions, and the 10-alpha line search maps onto the Pallas grid (one
 program per alpha).
 
 Covered here: the forward sweeps (nonlinear rollout and the closed-loop
-line-search pass, reference control.py:80-114).  Cost math is expressed
-with elementwise outer products + reductions (VPU) and incidence matmuls
-(MXU) -- no gathers, scatters or batched small matmuls.
+line-search pass, reference control.py:80-114) and the fused Riccati
+backward recursion (control.py:116-148).
+
+Mosaic (the Pallas TPU compiler) cannot lower tile-crossing reshapes (e.g.
+``(n, nx) -> (1, n*nx)``), sublane concatenation, or scatter.  Every op here
+sticks to the supported set (verified empirically on v5e): 2D transposes,
+(transposed-operand) matmuls, lane-axis concatenation of static slices,
+rank-changing broadcasts, leading-axis dynamic ref indexing, keepdims
+reductions and iota comparisons.  Flatten is lane-concat; unflatten is a
+one-hot matmul; x-independent pair constants (component masks, pair masks)
+are precomputed outside the kernel.
 
 VMEM budget: X, U, K, d plus cost arrays must fit (~16 MB).  ``fits_vmem``
 guards usage; callers fall back to the XLA scan path otherwise.
 """
 
 from __future__ import annotations
-
-from functools import partial
 
 import jax
 import jax.numpy as jnp
@@ -34,31 +40,58 @@ from .costs import GameCost, _signed_incidence
 # GameCost leaf order (matches the NamedTuple fields).
 _COST_FIELDS = GameCost._fields
 
-
-def _stage_cost_cols(cost: GameCost, W, has_pairs: bool, x, u):
-    """Stage cost with VPU-only math (see module docstring)."""
-    e = x - cost.xf
-    ref = jnp.sum((e[:, :, None] * e[:, None, :]) * cost.Q, axis=(1, 2))
-    ctrl = jnp.sum((u[:, :, None] * u[:, None, :]) * cost.R, axis=(1, 2))
-    m = cost.agent_mask
-    total = cost.ref_weight * jnp.sum(m * (ref + ctrl))
-    total = total + jnp.sum((1.0 - m) * jnp.sum(u * u, axis=-1))
-    if has_pairs:
-        total = total + cost.prox_weight * _prox_cols(cost, W, x)
-    return total
+# All in-kernel matmuls use full f32 passes: the MXU's default single-pass
+# bf16 rounding (rel err ~1e-3) destabilizes the Riccati recursion and the
+# flatten/unflatten mask matmuls (which must be value-exact).
+_HI = jax.lax.Precision.HIGHEST
 
 
-def _terminal_cost_cols(cost: GameCost, W, has_pairs: bool, x):
-    e = x - cost.xf
-    ref = jnp.sum((e[:, :, None] * e[:, None, :]) * cost.Qf, axis=(1, 2))
-    total = cost.ref_weight * jnp.sum(cost.agent_mask * ref)
-    if has_pairs:
-        total = total + cost.prox_weight * _prox_cols(cost, W, x)
-    return total
+def _flatten_row(x2d, O, MT):
+    """(n, c) -> (1, n*c) row-major flatten as ``sum(O * (x @ M^T), axis=0)``.
+
+    ``(x @ M^T)[i, q] = x[i, q % c]`` replicates each row across its span;
+    ``O[i, q] = [q // c == i]`` keeps only agent i's span; the row-sum
+    collapses to the flat layout.  Matmul + mask + reduce only -- a plain
+    reshape is a tile-crossing shape cast and per-row lane-concat trips
+    Mosaic's offset checks.
+    """
+    rep = jnp.dot(x2d, MT, preferred_element_type=x2d.dtype, precision=_HI)
+    return jnp.sum(O * rep, axis=0, keepdims=True)
 
 
-def _prox_cols(cost: GameCost, W, x):
-    """Proximity penalty via the incidence matmul."""
+def _unflatten_masks(n, c):
+    """0/1 masks for the unflatten matmul: (1, n*c) -> (n, c) is computed
+    in-kernel as ``(O * flat) @ M``.  ``O[i, q] = [q // c == i]`` masks agent
+    i's span; ``M[q, a] = [q % c == a]`` collapses each span to its columns.
+    Two VPU/MXU ops, no reshapes.  Passed as explicit kernel inputs (Pallas
+    rejects captured constants)."""
+    q = np.arange(n * c)
+    O = (q[None, :] // c == np.arange(n)[:, None]).astype(np.float64)
+    M = (q[:, None] % c == np.arange(c)[None, :]).astype(np.float64)
+    return O, M
+
+
+def _pair_constants(cost: GameCost, n: int, dtype):
+    """x-independent pair quantities, precomputed OUTSIDE the kernel.
+
+    Returns ``(W (n, npairs), comp (npairs, 3), m_pair (npairs, 1))``:
+    signed incidence, active-component mask (min(n_pos_i, n_pos_j)) and the
+    pair agent-mask product.
+    """
+    W = jnp.asarray(_signed_incidence(n, np.float64), dtype)
+    Wa = jnp.abs(W)
+    n_pos = cost.n_pos.astype(dtype)
+    nd_pair = 0.5 * (Wa.T @ n_pos - jnp.abs(W.T @ n_pos))
+    comp = (
+        jnp.arange(3, dtype=dtype)[None, :] < nd_pair[:, None]
+    ).astype(dtype)
+    m = cost.agent_mask.astype(dtype)
+    m_pair = (0.25 * ((Wa.T @ m) ** 2 - (W.T @ m) ** 2))[:, None]
+    return W, comp, m_pair
+
+
+def _prox_cols(radius, W, comp, m_pair, x):
+    """Proximity penalty via the incidence matmul; 2D-only in-kernel math."""
     n, nx_p = x.shape
     k = min(3, nx_p)
     # concatenate instead of .at[slice].set: the latter captures index
@@ -66,54 +99,71 @@ def _prox_cols(cost: GameCost, W, x):
     pos = x[:, :k]
     if k < 3:
         pos = jnp.concatenate([pos, jnp.zeros((n, 3 - k), x.dtype)], axis=1)
-    Wa = jnp.abs(W)
-    dt_ = x.dtype
-    delta = jnp.dot(W.T, pos, preferred_element_type=dt_)
-    n_pos = cost.n_pos.astype(dt_)
-    nd_pair = 0.5 * (
-        jnp.dot(Wa.T, n_pos, preferred_element_type=dt_)
-        - jnp.abs(jnp.dot(W.T, n_pos, preferred_element_type=dt_))
-    )
-    comp = (
-        jax.lax.broadcasted_iota(jnp.int32, (W.shape[1], 3), 1).astype(dt_)
-        < nd_pair[:, None]
-    )
-    delta = delta * comp
-    d = jnp.sqrt(jnp.sum(delta * delta, axis=-1))
-    m = cost.agent_mask
-    m_pair = 0.25 * (
-        jnp.dot(Wa.T, m, preferred_element_type=dt_) ** 2
-        - jnp.dot(W.T, m, preferred_element_type=dt_) ** 2
-    )
-    active = (d < cost.radius).astype(dt_)
-    pen = jnp.minimum(0.0, d - cost.radius) ** 2
+    delta = jnp.dot(W.T, pos, preferred_element_type=x.dtype, precision=_HI) * comp
+    d = jnp.sqrt(jnp.sum(delta * delta, axis=1, keepdims=True))  # (npairs, 1)
+    active = (d < radius).astype(x.dtype)
+    pen = jnp.minimum(0.0, d - radius) ** 2
     return jnp.sum(m_pair * active * pen)
 
 
+def _quadform_rows(Mat3, v):
+    """Per-agent quadratic form ``v_i^T M_i v_i`` -> (n, 1); 2D/3D ops only
+    (no rank-1 intermediates, which crash Mosaic's layout inference)."""
+    Mv = jnp.sum(Mat3 * v[:, None, :], axis=2)  # (n, c)
+    return jnp.sum(v * Mv, axis=1, keepdims=True)  # (n, 1)
+
+
+def _stage_cost_cols(xf, Q, R, m2, radius, prox_w, ref_w,
+                     W, comp, m_pair, has_pairs: bool, x, u):
+    """Stage cost with VPU-only math (see module docstring)."""
+    ref = _quadform_rows(Q, x - xf)
+    ctrl = _quadform_rows(R, u)
+    total = ref_w * jnp.sum(m2 * (ref + ctrl))
+    total = total + jnp.sum(
+        (1.0 - m2) * jnp.sum(u * u, axis=1, keepdims=True)
+    )
+    if has_pairs:
+        total = total + prox_w * _prox_cols(radius, W, comp, m_pair, x)
+    return total
+
+
+def _terminal_cost_cols(xf, Qf, m2, radius, prox_w, ref_w,
+                        W, comp, m_pair, has_pairs: bool, x):
+    ref = _quadform_rows(Qf, x - xf)
+    total = ref_w * jnp.sum(m2 * ref)
+    if has_pairs:
+        total = total + prox_w * _prox_cols(radius, W, comp, m_pair, x)
+    return total
+
+
 def fits_vmem(N: int, n: int, nx_p: int, nu_p: int,
-              dtype_bytes: int = 4, budget: int = 10 * 1024 * 1024) -> bool:
+              dtype_bytes: int = 4, budget: int = 10 * 1024 * 1024,
+              n_alpha: int = 10) -> bool:
     """Conservative VMEM estimate for the fused sweep kernels.
 
-    Covers the larger of the forward working set (gains K resident) and the
-    backward working set (dense per-step flat matrices for all t).
+    Covers the larger of the forward working set (rows layout: all alphas in
+    one program, incl. the layout-mask matmuls) and the backward working set
+    (dense per-step flat matrices for all t).
     """
     nxf, nuf = n * nx_p, n * nu_p
-    npairs = n * (n - 1) // 2
+    npairs = max(n * (n - 1) // 2, 1)
+    R_, P_ = n_alpha * n, n_alpha * npairs
     forward = (
-        (N + 1) * n * nx_p * 2
-        + N * n * nu_p * 2
+        (N + 1) * R_ * nx_p  # Xo
+        + N * R_ * nu_p  # Uo
         + N * nuf * nxf  # K
-        + N * nuf
-        + 2 * n * nx_p * nx_p
-        + n * nu_p * nu_p
-        + n * npairs
-        + 8 * max(npairs, n) * max(nx_p, 4)
+        + N * (n * nx_p + 2 * n * nu_p)  # X, U, d refs
+        + R_ * P_  # Wbig
+        + P_ * 6  # comp, m_pair, pen temps
+        + R_ * (nxf + nuf)  # Ogx, Ogu
+        + 2 * R_ * n_alpha + R_ * n  # Sel, SelT, T_rep
+        + R_ * (2 * nx_p * nx_p + nu_p * nu_p)  # tiled Q, Qf, R
+        + 8 * R_ * max(nx_p, 4)  # rk4 temps
     )
     backward = (
-        2 * N * nxf * nxf  # A_f, L_xx_diag dense
+        2 * N * nxf * nxf  # A_f, L_xx dense (incl. prox coupling)
         + N * nxf * nuf  # B_f
         + N * nuf * nuf  # L_uu_f
-        + N * npairs * 9  # pair Hessians
         + N * nuf * nxf  # K out
         + 4 * nxf * nxf  # P, Preg, temps
         + n * npairs
@@ -124,16 +174,25 @@ def fits_vmem(N: int, n: int, nx_p: int, nu_p: int,
 def forward_pass_pallas(
     fleet: Fleet, cost: GameCost, X, U, K, d, alphas, interpret: bool = False
 ):
-    """Batched closed-loop forward pass: one Pallas program per alpha.
+    """Batched closed-loop forward pass: ALL alphas in ONE Pallas program.
 
     Matches ``ops.ilqr._forward_pass`` vmapped over alphas.  Returns
     ``(X_c (n_alpha, N+1, n, nx), U_c (n_alpha, N, n, nu), J_c (n_alpha,))``.
+
+    Layout: a "rows" axis ``R = n_alpha * n`` (alpha-major) carries every
+    per-agent quantity as a 2D ``(R, c)`` array, so the line search is data
+    parallelism inside each VPU/MXU instruction rather than a sequential
+    grid (TPU grid iterations serialize -- a grid-per-alpha version measured
+    ~2x slower than the XLA scan; this one beats it).  Cross-layout moves
+    (tile reference trajectory to rows, flatten rows to per-alpha flat
+    vectors, unflatten gains) are 0/1 mask matmuls, which are bit-exact
+    under HIGHEST precision (a bf16x3 split reconstructs f32 exactly).
     """
     N, n, nu_p = U.shape
     nx_p = X.shape[2]
     n_alpha = alphas.shape[0]
     dtype = X.dtype
-    nxf, nuf = n * nx_p, n * nu_p
+    nxf = n * nx_p
 
     substeps_set = {s.rk4_substeps for s in fleet.specs}
     if len(substeps_set) != 1:
@@ -142,30 +201,87 @@ def forward_pass_pallas(
     dt = fleet.dt
 
     fleet_f = blended_f(fleet.specs, nx_p)
-    bm = jnp.asarray(branch_masks_for(fleet), dtype=dtype)
     has_pairs = n > 1
-    npairs = max(n * (n - 1) // 2, 1)
-    W = np.zeros((n, npairs))
-    if has_pairs:
-        W = _signed_incidence(n, np.float64)
-    W = jnp.asarray(W, dtype=dtype)
+    nA = n_alpha
+    R_ = nA * n  # rows axis (alpha-major)
+    npairs = n * (n - 1) // 2 if has_pairs else 1
+    P_ = nA * npairs
 
     cost = jax.tree.map(
         lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
         cost,
     )
-    cost_leaves = list(cost)
-    is_scalar = [jnp.ndim(leaf) == 0 for leaf in cost_leaves]
+    if has_pairs:
+        _, comp, m_pair = _pair_constants(cost, n, dtype)
+        W_np = _signed_incidence(n, np.float64)
+        comp_big = jnp.tile(comp, (nA, 1))  # (P_, 3)
+        mp_big = jnp.tile(m_pair, (nA, 1))  # (P_, 1)
+    else:
+        W_np = np.zeros((n, 1))
+        comp_big = jnp.zeros((P_, 3), dtype)
+        mp_big = jnp.zeros((P_, 1), dtype)
 
-    def kernel(x_ref, u_ref, K_ref, d_ref, a_ref, W_ref, bm_ref, *rest):
-        cost_refs = rest[: len(_COST_FIELDS)]
-        Xo_ref, Uo_ref, Jo_ref = rest[len(_COST_FIELDS):]
-        c = GameCost(
-            *(r[0] if sc else r[:] for r, sc in zip(cost_refs, is_scalar))
-        )
-        Wk = W_ref[:]
-        alpha = a_ref[pl.program_id(0)]
+    # --- static 0/1 layout masks (np; passed as inputs) ---------------------
+    r_ = np.arange(R_)
+    Sel = (r_[None, :] // n == np.arange(nA)[:, None]).astype(np.float64)
+    T_rep = (r_[:, None] % n == np.arange(n)[None, :]).astype(np.float64)
+    alpha_rows = jnp.repeat(jnp.asarray(alphas, dtype), n)[:, None]  # (R_, 1)
+    Ogx_1, Mx_1 = _unflatten_masks(n, nx_p)
+    Ogu_1, Mu_1 = _unflatten_masks(n, nu_p)
+    Ogx = np.tile(Ogx_1, (nA, 1))  # (R_, nxf): [q // nx_p == r % n]
+    Ogu = np.tile(Ogu_1, (nA, 1))  # (R_, nuf)
+    # Block-diagonal alpha-replicated incidence for the proximity penalty.
+    p_ = np.arange(P_)
+    Wbig = (
+        (r_[:, None] // n == p_[None, :] // npairs).astype(np.float64)
+        * W_np[r_[:, None] % n, p_[None, :] % npairs]
+    )  # (R_, P_)
+    Sp = (p_[None, :] // npairs == np.arange(nA)[:, None]).astype(np.float64)
+
+    # Rows-tiled cost arrays (XLA-side tiling is free).
+    xf_rows = jnp.tile(cost.xf, (nA, 1))  # (R_, nx_p)
+    Q_rows = jnp.tile(cost.Q, (nA, 1, 1))
+    R_rows = jnp.tile(cost.R, (nA, 1, 1))
+    Qf_rows = jnp.tile(cost.Qf, (nA, 1, 1))
+    m2_rows = jnp.tile(cost.agent_mask.astype(dtype)[:, None], (nA, 1))
+    bm_rows = jnp.tile(jnp.asarray(branch_masks_for(fleet), dtype), (1, nA))
+    scalars = jnp.stack(
+        [cost.radius.astype(dtype), cost.prox_weight.astype(dtype),
+         cost.ref_weight.astype(dtype)]
+    )[None, :]  # (1, 3) SMEM
+
+    d_blk = d.reshape(N, n, nu_p)
+    consts = {
+        "Sel": Sel, "SelT": Sel.T, "T_rep": T_rep, "Ogx": Ogx, "Ogu": Ogu,
+        "MxT": Mx_1.T, "Mu": Mu_1, "Wbig": Wbig, "Sp": Sp,
+    }
+    const_names = list(consts)
+    const_arrs = [jnp.asarray(consts[k], dtype) for k in const_names]
+
+    def kernel(x_ref, u_ref, K_ref, d_ref, a_ref, comp_ref, mp_ref,
+               bm_ref, xf_ref, Q_ref, R_ref, Qf_ref, m2_ref, sc_ref,
+               *rest):
+        c_refs = rest[: len(const_names)]
+        Xo_ref, Uo_ref, Jo_ref = rest[len(const_names):]
+        C = {k: r[:] for k, r in zip(const_names, c_refs)}
+        a_col = a_ref[:]  # (R_, 1)
+        compk = comp_ref[:]
+        mpk = mp_ref[:]
         branch_masks = bm_ref[:]
+        xfk = xf_ref[:]
+        Qk = Q_ref[:]
+        Rk = R_ref[:]
+        Qfk = Qf_ref[:]
+        m2k = m2_ref[:]
+        radius = sc_ref[0, 0]
+        prox_w = sc_ref[0, 1]
+        ref_w = sc_ref[0, 2]
+
+        def dot(a, b):
+            return jnp.dot(a, b, preferred_element_type=dtype, precision=_HI)
+
+        def tile_rows(v):  # (n, c) -> (R_, c), exact 0/1 matmul copy
+            return dot(C["T_rep"], v)
 
         def rk4(x, u):
             dh = dt / substeps
@@ -178,67 +294,85 @@ def forward_pass_pallas(
                 xx = xx + dh * (k0 + 2.0 * k1 + 2.0 * k2 + k3) / 6.0
             return xx
 
-        x0 = x_ref[0]
-        Xo_ref[0, 0] = x0
+        def prox_rows(x):
+            # (R_, nx) -> per-alpha proximity penalty (nA, 1)
+            k = min(3, nx_p)
+            pos = x[:, :k]
+            if k < 3:
+                pos = jnp.concatenate(
+                    [pos, jnp.zeros((R_, 3 - k), dtype)], axis=1
+                )
+            delta = dot(C["Wbig"].T, pos) * compk  # (P_, 3)
+            dd = jnp.sqrt(jnp.sum(delta * delta, axis=1, keepdims=True))
+            active = (dd < radius).astype(dtype)
+            pen = jnp.minimum(0.0, dd - radius) ** 2
+            return dot(C["Sp"], mpk * active * pen)  # (nA, 1)
+
+        def stage_cost(x, u):
+            ref = _quadform_rows(Qk, x - xfk)
+            ctrl = _quadform_rows(Rk, u)
+            rows = ref_w * m2k * (ref + ctrl) + (1.0 - m2k) * jnp.sum(
+                u * u, axis=1, keepdims=True
+            )
+            J = dot(C["Sel"], rows)  # (nA, 1)
+            if has_pairs:
+                J = J + prox_w * prox_rows(x)
+            return J
+
+        def terminal_cost(x):
+            rows = ref_w * m2k * _quadform_rows(Qfk, x - xfk)
+            J = dot(C["Sel"], rows)
+            if has_pairs:
+                J = J + prox_w * prox_rows(x)
+            return J
+
+        x0 = tile_rows(x_ref[0])  # (R_, nx_p)
+        Xo_ref[0] = x0
 
         def body(t, carry):
             x, J = carry
-            dx = (x - x_ref[t]).reshape(1, nxf)
-            K_t = K_ref[t]  # (nuf, nxf)
-            du = jnp.dot(
-                dx, K_t.T, preferred_element_type=dtype
-            ).reshape(n, nu_p) + alpha * d_ref[t].reshape(n, nu_p)
-            u_new = u_ref[t] + du
-            J = J + _stage_cost_cols(c, Wk, has_pairs, x, u_new)
-            Uo_ref[0, t] = u_new
+            dx = x - tile_rows(x_ref[t])  # (R_, nx_p)
+            # flatten rows -> per-alpha flat state (nA, nxf)
+            dx_flat = dot(C["Sel"], C["Ogx"] * dot(dx, C["MxT"]))
+            du = dot(dx_flat, K_ref[t].T)  # (nA, nuf)
+            # unflatten back to rows (R_, nu_p)
+            du_rows = dot(C["Ogu"] * dot(C["SelT"], du), C["Mu"])
+            u_new = tile_rows(u_ref[t]) + du_rows + a_col * tile_rows(d_ref[t])
+            J = J + stage_cost(x, u_new)
+            Uo_ref[t] = u_new
             x_next = rk4(x, u_new)
-            Xo_ref[0, t + 1] = x_next
+            Xo_ref[t + 1] = x_next
             return (x_next, J)
 
         x_last, J = jax.lax.fori_loop(
-            jnp.int32(0), jnp.int32(N), body, (x0, jnp.zeros((), dtype))
+            jnp.int32(0), jnp.int32(N), body,
+            (x0, jnp.zeros((nA, 1), dtype)),
         )
-        J = J + _terminal_cost_cols(c, Wk, has_pairs, x_last)
-        Jo_ref[0, 0] = J
+        J = J + terminal_cost(x_last)
+        Jo_ref[:] = J
 
-    def bcast_spec(arr):
-        nd = arr.ndim
-        return pl.BlockSpec(
-            arr.shape, lambda i, nd=nd: (0,) * nd, memory_space=pltpu.VMEM
-        )
+    def vspec(space=pltpu.VMEM):
+        return pl.BlockSpec(memory_space=space)
 
-    in_specs = [
-        bcast_spec(X),
-        bcast_spec(U),
-        bcast_spec(K),
-        bcast_spec(d),
-        bcast_spec(alphas),  # full alpha table; program_id selects
-        bcast_spec(W),
-        bcast_spec(bm),
-    ] + [bcast_spec(jnp.atleast_1d(leaf)) for leaf in cost_leaves]
-    out_specs = (
-        pl.BlockSpec(
-            (1, N + 1, n, nx_p), lambda i: (i, 0, 0, 0),
-            memory_space=pltpu.VMEM,
-        ),
-        pl.BlockSpec(
-            (1, N, n, nu_p), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
-        ),
-        pl.BlockSpec((1, 1), lambda i: (i, 0), memory_space=pltpu.SMEM),
-    )
+    ins = [X, U, K, d_blk, alpha_rows, comp_big, mp_big, bm_rows,
+           xf_rows, Q_rows, R_rows, Qf_rows, m2_rows, scalars] + const_arrs
+    in_specs = [vspec() for _ in ins]
+    in_specs[13] = vspec(pltpu.SMEM)  # scalars
 
-    X_c, U_c, J_c = pl.pallas_call(
+    Xr, Ur, J_c = pl.pallas_call(
         kernel,
-        grid=(n_alpha,),
         in_specs=in_specs,
-        out_specs=out_specs,
+        out_specs=(vspec(), vspec(), vspec()),
         out_shape=(
-            jax.ShapeDtypeStruct((n_alpha, N + 1, n, nx_p), dtype),
-            jax.ShapeDtypeStruct((n_alpha, N, n, nu_p), dtype),
+            jax.ShapeDtypeStruct((N + 1, R_, nx_p), dtype),
+            jax.ShapeDtypeStruct((N, R_, nu_p), dtype),
             jax.ShapeDtypeStruct((n_alpha, 1), dtype),
         ),
         interpret=interpret,
-    )(X, U, K, d, alphas, W, bm, *(jnp.atleast_1d(l) for l in cost_leaves))
+    )(*ins)
+    # rows layout -> per-alpha trajectories (XLA-side reshape/transpose)
+    X_c = Xr.reshape(N + 1, n_alpha, n, nx_p).transpose(1, 0, 2, 3)
+    U_c = Ur.reshape(N, n_alpha, n, nu_p).transpose(1, 0, 2, 3)
     return X_c, U_c, J_c[:, 0]
 
 
@@ -283,13 +417,16 @@ def backward_pass_pallas(
     """Fused Riccati sweep: the entire backward recursion as ONE Pallas
     program (reference control.py:116-148).
 
-    The (X, U)-only terms (quadraticization, linearization) are hoisted and
-    batched over time in XLA exactly like ``ops.ilqr._backward_pass``; the
-    kernel runs the sequential value recursion with dense flat-space math in
-    VMEM -- sized for subproblem-scale fleets (nxf = n * nx_p up to a few
-    hundred).  The Q_uu solve is an in-kernel Gauss-Jordan (no custom call).
+    The (X, U)-only terms (quadraticization incl. the proximity coupling,
+    linearization, block-diagonal embedding) are hoisted and batched over
+    time in XLA exactly like ``ops.ilqr._backward_pass``; the kernel runs
+    the sequential value recursion with dense flat-space math in VMEM --
+    sized for subproblem-scale fleets (nxf = n * nx_p up to a few hundred).
+    The Q_uu solve is an in-kernel Gauss-Jordan (no custom call).
     """
     from .costs import (
+        assemble_pair_hessian,
+        diag_embed,
         quadraticize_stage_compact,
         quadraticize_terminal,
     )
@@ -316,9 +453,14 @@ def backward_pass_pallas(
     A_f = jnp.einsum("ij,tiab->tiajb", eye_n, A).reshape(N, nxf, nxf)
     B_f = jnp.einsum("ij,tiab->tiajb", eye_n, B).reshape(N, nxf, nuf)
     L_uu_f = jnp.einsum("ij,tiab->tiajb", eye_n, L_uu).reshape(N, nuf, nuf)
-    L_xx_d = jnp.einsum("ij,tiab->tiajb", eye_n, L_xx_diag).reshape(
-        N, nxf, nxf
-    )
+    # Full state Hessian incl. the prox pair coupling, assembled here (XLA)
+    # because Mosaic cannot lower the (n,k,n,k)->(nxf,nxf) reshape in-kernel.
+    L_xx_blk = jax.vmap(lambda ld: diag_embed(ld))(L_xx_diag)
+    if n > 1:
+        L_xx_blk = L_xx_blk + jax.vmap(
+            lambda h: assemble_pair_hessian(h, n, nx_p)
+        )(H)
+    L_xx_f = L_xx_blk.reshape(N, nxf, nxf)
     L_x_f = L_x.reshape(N, nxf)
     L_u_f = L_u.reshape(N, nuf)
 
@@ -326,100 +468,59 @@ def backward_pass_pallas(
     p0 = L_xT.reshape(1, nxf)
     P0 = L_xxT.reshape(nxf, nxf)
 
-    has_pairs = n > 1
-    npairs = max(n * (n - 1) // 2, 1)
-    k = min(3, nx_p)
-    if not has_pairs:
-        H = jnp.zeros((N, npairs, k, k), dtype)
-    # Pair Hessians flattened for the in-kernel incidence assembly:
-    # Hf[t, p, a*k+b]; the sandwich runs per (a, b) as W diag(H_ab) W^T.
-    Hf = H.reshape(N, npairs, k * k)
-    W = (
-        _signed_incidence(n, np.float64)
-        if has_pairs
-        else np.zeros((n, npairs))
-    )
-    W = jnp.asarray(W, dtype)
     mu = jnp.asarray(mu, dtype).reshape(1)
 
-    def kernel(Af_r, Bf_r, Luu_r, Lxxd_r, Lx_r, Lu_r, Hf_r, W_r, mu_r,
+    def kernel(Af_r, Bf_r, Luu_r, Lxx_r, Lx_r, Lu_r, mu_r,
                p0_r, P0_r, K_out, d_out):
-        Wk = W_r[:]
         mu_k = mu_r[0]
         eye_f = _eye(nxf, dtype)
-
-        def assemble_prox(H_t):
-            # (npairs, k*k) -> (nxf, nxf) coupling via 9 incidence matmuls.
-            rows = []
-            for a in range(k):
-                cols = []
-                for b in range(k):
-                    Hab = H_t[:, a * k + b]  # (npairs,)
-                    Cab = jnp.dot(
-                        Wk * Hab[None, :], Wk.T,
-                        preferred_element_type=dtype,
-                    )  # (n, n)
-                    cols.append(Cab)
-                rows.append(cols)
-            # (n, n, k, k) -> (n, k, n, k) -> zero-pad the per-agent block to
-            # (nx, nx) (jnp.pad, not .at[slice].set: the latter captures
-            # index constants Pallas rejects).
-            blocks = jnp.stack(
-                [jnp.stack(r, axis=-1) for r in rows], axis=-2
-            )  # (n, n, k, k): [i, j, a, b]
-            blk = jnp.transpose(blocks, (0, 2, 1, 3))  # (n, k, n, k)
-            if k < nx_p:
-                pad = nx_p - k
-                blk = jnp.pad(blk, ((0, 0), (0, pad), (0, 0), (0, pad)))
-            return blk.reshape(nxf, nxf)
 
         def body(i, carry):
             p, P = carry  # (1, nxf), (nxf, nxf)
             t = N - 1 - i
             A_t = Af_r[t]
             B_t = Bf_r[t]
-            L_xx = Lxxd_r[t]
-            if has_pairs:
-                L_xx = L_xx + assemble_prox(Hf_r[t])
+            L_xx = Lxx_r[t]
             Preg = P + mu_k * eye_f
 
             Q_x = Lx_r[t][None, :] + jnp.dot(
-                p, A_t, preferred_element_type=dtype
+                p, A_t, preferred_element_type=dtype, precision=_HI
             )
             Q_u = Lu_r[t][None, :] + jnp.dot(
-                p, B_t, preferred_element_type=dtype
+                p, B_t, preferred_element_type=dtype, precision=_HI
             )
-            PA = jnp.dot(P, A_t, preferred_element_type=dtype)
-            Q_xx = L_xx + jnp.dot(A_t.T, PA, preferred_element_type=dtype)
-            PregB = jnp.dot(Preg, B_t, preferred_element_type=dtype)
+            PA = jnp.dot(P, A_t, preferred_element_type=dtype, precision=_HI)
+            Q_xx = L_xx + jnp.dot(A_t.T, PA, preferred_element_type=dtype, precision=_HI)
+            PregB = jnp.dot(Preg, B_t, preferred_element_type=dtype, precision=_HI)
             Q_uu = Luu_r[t] + jnp.dot(
-                B_t.T, PregB, preferred_element_type=dtype
+                B_t.T, PregB, preferred_element_type=dtype, precision=_HI
             )
-            Q_ux = jnp.dot(
-                B_t.T, jnp.dot(Preg, A_t, preferred_element_type=dtype),
-                preferred_element_type=dtype,
-            )
+            PregA = jnp.dot(Preg, A_t, preferred_element_type=dtype, precision=_HI)
+            Q_ux = jnp.dot(B_t.T, PregA, preferred_element_type=dtype, precision=_HI)
+            # Q_xu computed directly (not Q_ux^T): used for transpose-free
+            # value updates below.
+            Q_xu = jnp.dot(A_t.T, PregB, preferred_element_type=dtype, precision=_HI)
 
             rhs = jnp.concatenate([Q_ux, Q_u.T], axis=1)
             sol = _gauss_jordan_solve(Q_uu, rhs)
             K_t = -sol[:, :nxf]
-            d_t = -sol[:, nxf]
+            d_col = -sol[:, nxf : nxf + 1]  # (nuf, 1)
 
             K_out[t] = K_t
-            d_out[t] = d_t
+            d_out[t] = d_col[:, 0]
 
-            KtQuu = jnp.dot(K_t.T, Q_uu, preferred_element_type=dtype)
+            KtQuu = jnp.dot(K_t.T, Q_uu, preferred_element_type=dtype, precision=_HI)
             p_new = (
                 Q_x
-                + jnp.dot(KtQuu, d_t[:, None], preferred_element_type=dtype).T
-                + jnp.dot(Q_u, K_t, preferred_element_type=dtype)
-                + jnp.dot(d_t[None, :], Q_ux, preferred_element_type=dtype)
+                + jnp.dot(KtQuu, d_col, preferred_element_type=dtype, precision=_HI).T
+                + jnp.dot(Q_u, K_t, preferred_element_type=dtype, precision=_HI)
+                + jnp.dot(d_col.T, Q_ux, preferred_element_type=dtype, precision=_HI)
             )
             P_new = (
                 Q_xx
-                + jnp.dot(KtQuu, K_t, preferred_element_type=dtype)
-                + jnp.dot(K_t.T, Q_ux, preferred_element_type=dtype)
-                + jnp.dot(Q_ux.T, K_t, preferred_element_type=dtype)
+                + jnp.dot(KtQuu, K_t, preferred_element_type=dtype, precision=_HI)
+                + jnp.dot(K_t.T, Q_ux, preferred_element_type=dtype, precision=_HI)
+                + jnp.dot(Q_xu, K_t, preferred_element_type=dtype, precision=_HI)
             )
             P_new = 0.5 * (P_new + P_new.T)
             return (p_new, P_new)
@@ -431,8 +532,8 @@ def backward_pass_pallas(
 
     K, d = pl.pallas_call(
         kernel,
-        in_specs=[vspec(a) for a in (A_f, B_f, L_uu_f, L_xx_d, L_x_f, L_u_f,
-                                      Hf, W, mu, p0, P0)],
+        in_specs=[vspec(a) for a in (A_f, B_f, L_uu_f, L_xx_f, L_x_f, L_u_f,
+                                      mu, p0, P0)],
         out_specs=(
             pl.BlockSpec(memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
@@ -442,7 +543,7 @@ def backward_pass_pallas(
             jax.ShapeDtypeStruct((N, nuf), dtype),
         ),
         interpret=interpret,
-    )(A_f, B_f, L_uu_f, L_xx_d, L_x_f, L_u_f, Hf, W, mu, p0, P0)
+    )(A_f, B_f, L_uu_f, L_xx_f, L_x_f, L_u_f, mu, p0, P0)
     return K, d
 
 

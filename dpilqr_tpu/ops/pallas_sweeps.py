@@ -34,7 +34,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..models.fleet import Fleet
-from ..models.vectorized import blended_f, branch_masks_for
+from ..models.vectorized import blended_f, blended_f_smajor, branch_masks_for
 from .costs import GameCost, _signed_incidence
 
 # GameCost leaf order (matches the NamedTuple fields).
@@ -179,20 +179,21 @@ def forward_pass_pallas(
     Matches ``ops.ilqr._forward_pass`` vmapped over alphas.  Returns
     ``(X_c (n_alpha, N+1, n, nx), U_c (n_alpha, N, n, nu), J_c (n_alpha,))``.
 
-    Layout: a "rows" axis ``R = n_alpha * n`` (alpha-major) carries every
-    per-agent quantity as a 2D ``(R, c)`` array, so the line search is data
-    parallelism inside each VPU/MXU instruction rather than a sequential
-    grid (TPU grid iterations serialize -- a grid-per-alpha version measured
-    ~2x slower than the XLA scan; this one beats it).  Cross-layout moves
-    (tile reference trajectory to rows, flatten rows to per-alpha flat
-    vectors, unflatten gains) are 0/1 mask matmuls, which are bit-exact
-    under HIGHEST precision (a bf16x3 split reconstructs f32 exactly).
+    Layout: STATE-MAJOR -- every per-agent quantity is a ``(c, C)`` array
+    with a columns axis ``C = n_alpha * n`` (alpha-major) on the LANES.
+    With the component count c <= 12 on sublanes, each elementwise op in the
+    RK4/cost hot path is a single (8, 128) vreg instruction up to C = 128;
+    the transposed rows layout burned ceil(C/8) vregs per op.  (A grid-per-
+    alpha variant was ~2x slower than the XLA scan: TPU grid iterations
+    serialize.)  Cross-layout moves (tiling the reference trajectory across
+    alphas, flatten to per-alpha flat vectors, unflatten gains) are 0/1 mask
+    matmuls, bit-exact under HIGHEST precision (bf16x3 splits f32 exactly).
     """
     N, n, nu_p = U.shape
     nx_p = X.shape[2]
     n_alpha = alphas.shape[0]
     dtype = X.dtype
-    nxf = n * nx_p
+    nxf, nuf = n * nx_p, n * nu_p
 
     substeps_set = {s.rk4_substeps for s in fleet.specs}
     if len(substeps_set) != 1:
@@ -200,10 +201,10 @@ def forward_pass_pallas(
     substeps = substeps_set.pop()
     dt = fleet.dt
 
-    fleet_f = blended_f(fleet.specs, nx_p)
+    fleet_f = blended_f_smajor(fleet.specs, nx_p)
     has_pairs = n > 1
     nA = n_alpha
-    R_ = nA * n  # rows axis (alpha-major)
+    C_ = nA * n  # columns axis (alpha-major, agents on lanes)
     npairs = n * (n - 1) // 2 if has_pairs else 1
     P_ = nA * npairs
 
@@ -214,65 +215,72 @@ def forward_pass_pallas(
     if has_pairs:
         _, comp, m_pair = _pair_constants(cost, n, dtype)
         W_np = _signed_incidence(n, np.float64)
-        comp_big = jnp.tile(comp, (nA, 1))  # (P_, 3)
-        mp_big = jnp.tile(m_pair, (nA, 1))  # (P_, 1)
+        compT = jnp.tile(comp.T, (1, nA))  # (3, P_)
+        mpT = jnp.tile(m_pair.T, (1, nA))  # (1, P_)
     else:
         W_np = np.zeros((n, 1))
-        comp_big = jnp.zeros((P_, 3), dtype)
-        mp_big = jnp.zeros((P_, 1), dtype)
+        compT = jnp.zeros((3, P_), dtype)
+        mpT = jnp.zeros((1, P_), dtype)
 
     # --- static 0/1 layout masks (np; passed as inputs) ---------------------
-    r_ = np.arange(R_)
-    Sel = (r_[None, :] // n == np.arange(nA)[:, None]).astype(np.float64)
-    T_rep = (r_[:, None] % n == np.arange(n)[None, :]).astype(np.float64)
-    alpha_rows = jnp.repeat(jnp.asarray(alphas, dtype), n)[:, None]  # (R_, 1)
-    Ogx_1, Mx_1 = _unflatten_masks(n, nx_p)
-    Ogu_1, Mu_1 = _unflatten_masks(n, nu_p)
-    Ogx = np.tile(Ogx_1, (nA, 1))  # (R_, nxf): [q // nx_p == r % n]
-    Ogu = np.tile(Ogu_1, (nA, 1))  # (R_, nuf)
-    # Block-diagonal alpha-replicated incidence for the proximity penalty.
+    r_ = np.arange(C_)
     p_ = np.arange(P_)
-    Wbig = (
-        (r_[:, None] // n == p_[None, :] // npairs).astype(np.float64)
-        * W_np[r_[:, None] % n, p_[None, :] % npairs]
-    )  # (R_, P_)
-    Sp = (p_[None, :] // npairs == np.arange(nA)[:, None]).astype(np.float64)
+    qx = np.arange(nxf)
+    qu = np.arange(nuf)
+    consts = {
+        # tile (c, n) -> (c, C_):  v @ T_repT
+        "T_repT": (np.arange(n)[:, None] == r_[None, :] % n),
+        # per-alpha column reduce (., C_) @ SelC -> (., nA)
+        "SelC": (r_[:, None] // n == np.arange(nA)[None, :]),
+        # spread per-alpha (., nA) @ SelCT -> (., C_)
+        "SelCT": (np.arange(nA)[:, None] == r_[None, :] // n),
+        # flat-state expand: Mx @ dx, Mx (nxf, nx_p)
+        "Mx": (qx[:, None] % nx_p == np.arange(nx_p)[None, :]),
+        "OgxT": (qx[:, None] // nx_p == r_[None, :] % n),  # (nxf, C_)
+        "MuT": (np.arange(nu_p)[:, None] == qu[None, :] % nu_p),  # (nu_p, nuf)
+        "OguT": (qu[:, None] // nu_p == r_[None, :] % n),  # (nuf, C_)
+        # proximity: pair differences as one incidence matmul
+        "Wbig": (
+            (r_[:, None] // n == p_[None, :] // npairs)
+            * W_np[r_ % n][:, p_ % npairs % W_np.shape[1]]
+            if has_pairs else np.zeros((C_, P_))
+        ),
+        "SpC": (p_[:, None] // npairs == np.arange(nA)[None, :]),  # (P_, nA)
+    }
+    const_names = list(consts)
+    const_arrs = [jnp.asarray(np.asarray(consts[k], np.float64), dtype)
+                  for k in const_names]
 
-    # Rows-tiled cost arrays (XLA-side tiling is free).
-    xf_rows = jnp.tile(cost.xf, (nA, 1))  # (R_, nx_p)
-    Q_rows = jnp.tile(cost.Q, (nA, 1, 1))
-    R_rows = jnp.tile(cost.R, (nA, 1, 1))
-    Qf_rows = jnp.tile(cost.Qf, (nA, 1, 1))
-    m2_rows = jnp.tile(cost.agent_mask.astype(dtype)[:, None], (nA, 1))
-    bm_rows = jnp.tile(jnp.asarray(branch_masks_for(fleet), dtype), (1, nA))
+    alpha_row = jnp.repeat(jnp.asarray(alphas, dtype), n)[None, :]  # (1, C_)
+    m_row = jnp.tile(cost.agent_mask.astype(dtype)[None, :], (1, nA))
+    bmT = jnp.tile(jnp.asarray(branch_masks_for(fleet), dtype), (1, nA))
+    # Cost arrays, state-major + alpha-tiled:  QT[b, a, r] = Q[r % n, a, b]
+    xfT = jnp.tile(cost.xf.T, (1, nA))  # (nx_p, C_)
+    QT = jnp.tile(jnp.transpose(cost.Q, (2, 1, 0)), (1, 1, nA))
+    RT = jnp.tile(jnp.transpose(cost.R, (2, 1, 0)), (1, 1, nA))
+    QfT = jnp.tile(jnp.transpose(cost.Qf, (2, 1, 0)), (1, 1, nA))
     scalars = jnp.stack(
         [cost.radius.astype(dtype), cost.prox_weight.astype(dtype),
          cost.ref_weight.astype(dtype)]
     )[None, :]  # (1, 3) SMEM
 
-    d_blk = d.reshape(N, n, nu_p)
-    consts = {
-        "Sel": Sel, "SelT": Sel.T, "T_rep": T_rep, "Ogx": Ogx, "Ogu": Ogu,
-        "MxT": Mx_1.T, "Mu": Mu_1, "Wbig": Wbig, "Sp": Sp,
-    }
-    const_names = list(consts)
-    const_arrs = [jnp.asarray(consts[k], dtype) for k in const_names]
+    # Reference trajectory / controls / gains, state-major (XLA-side).
+    Xt = jnp.transpose(X, (0, 2, 1))  # (N+1, nx_p, n)
+    Ut = jnp.transpose(U, (0, 2, 1))  # (N, nu_p, n)
+    dT = jnp.transpose(d.reshape(N, n, nu_p), (0, 2, 1))  # (N, nu_p, n)
 
     def kernel(x_ref, u_ref, K_ref, d_ref, a_ref, comp_ref, mp_ref,
-               bm_ref, xf_ref, Q_ref, R_ref, Qf_ref, m2_ref, sc_ref,
+               bm_ref, xf_ref, Q_ref, R_ref, Qf_ref, m_ref, sc_ref,
                *rest):
         c_refs = rest[: len(const_names)]
         Xo_ref, Uo_ref, Jo_ref = rest[len(const_names):]
-        C = {k: r[:] for k, r in zip(const_names, c_refs)}
-        a_col = a_ref[:]  # (R_, 1)
+        Cm = {k: r[:] for k, r in zip(const_names, c_refs)}
+        a_row = a_ref[:]  # (1, C_)
         compk = comp_ref[:]
         mpk = mp_ref[:]
         branch_masks = bm_ref[:]
         xfk = xf_ref[:]
-        Qk = Q_ref[:]
-        Rk = R_ref[:]
-        Qfk = Qf_ref[:]
-        m2k = m2_ref[:]
+        mk = m_ref[:]
         radius = sc_ref[0, 0]
         prox_w = sc_ref[0, 1]
         ref_w = sc_ref[0, 2]
@@ -280,8 +288,8 @@ def forward_pass_pallas(
         def dot(a, b):
             return jnp.dot(a, b, preferred_element_type=dtype, precision=_HI)
 
-        def tile_rows(v):  # (n, c) -> (R_, c), exact 0/1 matmul copy
-            return dot(C["T_rep"], v)
+        def tile_cols(v):  # (c, n) -> (c, C_), exact 0/1 matmul copy
+            return dot(v, Cm["T_repT"])
 
         def rk4(x, u):
             dh = dt / substeps
@@ -294,51 +302,59 @@ def forward_pass_pallas(
                 xx = xx + dh * (k0 + 2.0 * k1 + 2.0 * k2 + k3) / 6.0
             return xx
 
-        def prox_rows(x):
-            # (R_, nx) -> per-alpha proximity penalty (nA, 1)
-            k = min(3, nx_p)
-            pos = x[:, :k]
-            if k < 3:
-                pos = jnp.concatenate(
-                    [pos, jnp.zeros((R_, 3 - k), dtype)], axis=1
-                )
-            delta = dot(C["Wbig"].T, pos) * compk  # (P_, 3)
-            dd = jnp.sqrt(jnp.sum(delta * delta, axis=1, keepdims=True))
+        def quadform(M_ref_k, v):
+            # per-column quadratic form v_r^T M_r v_r -> (1, C_);
+            # M layout (c_b, c_a, C_): leading-index loads are Mosaic-safe.
+            acc = jnp.zeros((1, C_), dtype)
+            for b in range(M_ref_k.shape[0]):
+                Mv_b = jnp.sum(M_ref_k[b] * v, axis=0, keepdims=True)
+                acc = acc + v[b : b + 1, :] * Mv_b
+            return acc
+
+        def prox_cols(x):
+            # (nx_p, C_) -> per-alpha proximity penalty (1, nA)
+            pos3 = x[:3, :]  # junk components masked by compk below
+            delta = dot(pos3, Cm["Wbig"]) * compk  # (3, P_)
+            dd = jnp.sqrt(jnp.sum(delta * delta, axis=0, keepdims=True))
             active = (dd < radius).astype(dtype)
             pen = jnp.minimum(0.0, dd - radius) ** 2
-            return dot(C["Sp"], mpk * active * pen)  # (nA, 1)
+            return dot(mpk * active * pen, Cm["SpC"])  # (1, nA)
 
-        def stage_cost(x, u):
-            ref = _quadform_rows(Qk, x - xfk)
-            ctrl = _quadform_rows(Rk, u)
-            rows = ref_w * m2k * (ref + ctrl) + (1.0 - m2k) * jnp.sum(
-                u * u, axis=1, keepdims=True
+        def stage_cost(Qk, Rk, x, u):
+            ref = quadform(Qk, x - xfk)
+            ctrl = quadform(Rk, u)
+            rows = ref_w * mk * (ref + ctrl) + (1.0 - mk) * jnp.sum(
+                u * u, axis=0, keepdims=True
             )
-            J = dot(C["Sel"], rows)  # (nA, 1)
+            J = dot(rows, Cm["SelC"])  # (1, nA)
             if has_pairs:
-                J = J + prox_w * prox_rows(x)
+                J = J + prox_w * prox_cols(x)
             return J
 
-        def terminal_cost(x):
-            rows = ref_w * m2k * _quadform_rows(Qfk, x - xfk)
-            J = dot(C["Sel"], rows)
+        def terminal_cost(Qfk, x):
+            rows = ref_w * mk * quadform(Qfk, x - xfk)
+            J = dot(rows, Cm["SelC"])
             if has_pairs:
-                J = J + prox_w * prox_rows(x)
+                J = J + prox_w * prox_cols(x)
             return J
 
-        x0 = tile_rows(x_ref[0])  # (R_, nx_p)
+        Qk = Q_ref[:]
+        Rk = R_ref[:]
+        Qfk = Qf_ref[:]
+
+        x0 = tile_cols(x_ref[0])  # (nx_p, C_)
         Xo_ref[0] = x0
 
         def body(t, carry):
             x, J = carry
-            dx = x - tile_rows(x_ref[t])  # (R_, nx_p)
-            # flatten rows -> per-alpha flat state (nA, nxf)
-            dx_flat = dot(C["Sel"], C["Ogx"] * dot(dx, C["MxT"]))
-            du = dot(dx_flat, K_ref[t].T)  # (nA, nuf)
-            # unflatten back to rows (R_, nu_p)
-            du_rows = dot(C["Ogu"] * dot(C["SelT"], du), C["Mu"])
-            u_new = tile_rows(u_ref[t]) + du_rows + a_col * tile_rows(d_ref[t])
-            J = J + stage_cost(x, u_new)
+            dx = x - tile_cols(x_ref[t])  # (nx_p, C_)
+            # flatten columns -> per-alpha flat state (nxf, nA)
+            dx_flat = dot(Cm["OgxT"] * dot(Cm["Mx"], dx), Cm["SelC"])
+            du = dot(K_ref[t], dx_flat)  # (nuf, nA)
+            # unflatten back to columns (nu_p, C_)
+            du_cols = dot(Cm["MuT"], Cm["OguT"] * dot(du, Cm["SelCT"]))
+            u_new = tile_cols(u_ref[t]) + du_cols + a_row * tile_cols(d_ref[t])
+            J = J + stage_cost(Qk, Rk, x, u_new)
             Uo_ref[t] = u_new
             x_next = rk4(x, u_new)
             Xo_ref[t + 1] = x_next
@@ -346,16 +362,16 @@ def forward_pass_pallas(
 
         x_last, J = jax.lax.fori_loop(
             jnp.int32(0), jnp.int32(N), body,
-            (x0, jnp.zeros((nA, 1), dtype)),
+            (x0, jnp.zeros((1, nA), dtype)),
         )
-        J = J + terminal_cost(x_last)
+        J = J + terminal_cost(Qfk, x_last)
         Jo_ref[:] = J
 
     def vspec(space=pltpu.VMEM):
         return pl.BlockSpec(memory_space=space)
 
-    ins = [X, U, K, d_blk, alpha_rows, comp_big, mp_big, bm_rows,
-           xf_rows, Q_rows, R_rows, Qf_rows, m2_rows, scalars] + const_arrs
+    ins = [Xt, Ut, K, dT, alpha_row, compT, mpT, bmT,
+           xfT, QT, RT, QfT, m_row, scalars] + const_arrs
     in_specs = [vspec() for _ in ins]
     in_specs[13] = vspec(pltpu.SMEM)  # scalars
 
@@ -364,16 +380,16 @@ def forward_pass_pallas(
         in_specs=in_specs,
         out_specs=(vspec(), vspec(), vspec()),
         out_shape=(
-            jax.ShapeDtypeStruct((N + 1, R_, nx_p), dtype),
-            jax.ShapeDtypeStruct((N, R_, nu_p), dtype),
-            jax.ShapeDtypeStruct((n_alpha, 1), dtype),
+            jax.ShapeDtypeStruct((N + 1, nx_p, C_), dtype),
+            jax.ShapeDtypeStruct((N, nu_p, C_), dtype),
+            jax.ShapeDtypeStruct((1, n_alpha), dtype),
         ),
         interpret=interpret,
     )(*ins)
-    # rows layout -> per-alpha trajectories (XLA-side reshape/transpose)
-    X_c = Xr.reshape(N + 1, n_alpha, n, nx_p).transpose(1, 0, 2, 3)
-    U_c = Ur.reshape(N, n_alpha, n, nu_p).transpose(1, 0, 2, 3)
-    return X_c, U_c, J_c[:, 0]
+    # state-major -> per-alpha trajectories (XLA-side reshape/transpose)
+    X_c = Xr.reshape(N + 1, nx_p, n_alpha, n).transpose(2, 0, 3, 1)
+    U_c = Ur.reshape(N, nu_p, n_alpha, n).transpose(2, 0, 3, 1)
+    return X_c, U_c, J_c[0, :]
 
 
 def _gauss_jordan_solve(M, R):

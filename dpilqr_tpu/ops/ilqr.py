@@ -121,6 +121,41 @@ def _forward_pass(step_fn, cost: GameCost, X, U, K, d, alpha):
     return X_new, U_new, J
 
 
+def gauss_jordan_solve(M, R):
+    """Solve ``M X = R`` via Gauss-Jordan without pivoting.
+
+    ``M`` is the (symmetric positive definite) ``Q_uu``; elimination without
+    pivoting on an SPD matrix is stable (equivalent to LDL^T).  Pure
+    elementwise/reduction ops -- it vmaps into cheap batched VPU work (the
+    batched LU custom call is 4x slower at 100 subproblems on TPU) and the
+    same code lowers inside Pallas kernels (dynamic row indexing does not;
+    one-hot masks + reductions do).
+    """
+    m = M.shape[0]
+    MR = jnp.concatenate([M, R], axis=1)  # (m, q)
+    q = MR.shape[1]
+    dtype = MR.dtype
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
+    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, q), 1)
+
+    def body(k, MR):
+        row_hot = (row_iota == k).astype(dtype)  # (m, 1)
+        col_hot = (col_iota == k).astype(dtype)  # (1, q)
+        pivot_row = jnp.sum(MR * row_hot, axis=0, keepdims=True)  # (1, q)
+        pivot_val = jnp.sum(pivot_row * col_hot)  # MR[k, k]
+        pivot_row = pivot_row / pivot_val
+        col = jnp.sum(MR * col_hot, axis=1, keepdims=True)  # (m, 1)
+        col = col * (1.0 - row_hot)  # zero the pivot row's own entry
+        MR = MR - col * pivot_row
+        MR = MR * (1.0 - row_hot) + row_hot * pivot_row
+        return MR
+
+    # int32 bounds: under x64 a python-int bound makes the loop index int64,
+    # and any int64 value inside a Mosaic kernel fails to lower.
+    MR = jax.lax.fori_loop(jnp.int32(0), jnp.int32(m), body, MR)
+    return MR[:, m:]
+
+
 def _backward_pass(lin_fn, cost: GameCost, X, U, mu):
     """Block Riccati recursion (reference control.py:116-148).
 
@@ -185,7 +220,11 @@ def _backward_pass(lin_fn, cost: GameCost, X, U, mu):
         Qxx = Q_xx.reshape(nxf, nxf)
 
         rhs = jnp.concatenate([Qux, Qu[:, None]], axis=1)
-        sol = jnp.linalg.solve(Quu, rhs)
+        # Gauss-Jordan instead of jnp.linalg.solve: Q_uu is SPD (mu-
+        # regularized), pivoting is unnecessary, and the batched LU custom
+        # call dominates the vmapped subproblem backward pass on TPU
+        # (measured 4x slower at 100 subproblems).
+        sol = gauss_jordan_solve(Quu, rhs)
         K_t = -sol[:, :nxf]
         d_t = -sol[:, nxf]
 

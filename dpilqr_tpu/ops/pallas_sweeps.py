@@ -36,6 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..models.fleet import Fleet
 from ..models.vectorized import blended_f, blended_f_smajor, branch_masks_for
 from .costs import GameCost, _signed_incidence
+from .ilqr import gauss_jordan_solve
+
 
 # GameCost leaf order (matches the NamedTuple fields).
 _COST_FIELDS = GameCost._fields
@@ -392,41 +394,6 @@ def forward_pass_pallas(
     return X_c, U_c, J_c[0, :]
 
 
-def _gauss_jordan_solve(M, R):
-    """Solve ``M X = R`` in-kernel via Gauss-Jordan without pivoting.
-
-    ``M`` is the (symmetric positive definite) ``Q_uu``; elimination without
-    pivoting on an SPD matrix is stable (equivalent to LDL^T).  One fori
-    iteration per row -- pure VPU work, no custom-call.  Row/column selection
-    uses one-hot masks + reductions (NOT dynamic indexing): Mosaic lowers
-    masked full-tile ops directly, while dynamic row gathers/scatters inside
-    a kernel fail to lower.
-    """
-    m = M.shape[0]
-    MR = jnp.concatenate([M, R], axis=1)  # (m, q)
-    q = MR.shape[1]
-    dtype = MR.dtype
-    row_iota = jax.lax.broadcasted_iota(jnp.int32, (m, 1), 0)
-    col_iota = jax.lax.broadcasted_iota(jnp.int32, (1, q), 1)
-
-    def body(k, MR):
-        row_hot = (row_iota == k).astype(dtype)  # (m, 1)
-        col_hot = (col_iota == k).astype(dtype)  # (1, q)
-        pivot_row = jnp.sum(MR * row_hot, axis=0, keepdims=True)  # (1, q)
-        pivot_val = jnp.sum(pivot_row * col_hot)  # MR[k, k]
-        pivot_row = pivot_row / pivot_val
-        col = jnp.sum(MR * col_hot, axis=1, keepdims=True)  # (m, 1)
-        col = col * (1.0 - row_hot)  # zero the pivot row's own entry
-        MR = MR - col * pivot_row
-        MR = MR * (1.0 - row_hot) + row_hot * pivot_row
-        return MR
-
-    # int32 bounds: under x64 a python-int bound makes the loop index int64,
-    # and any int64 value inside a Mosaic kernel fails to lower.
-    MR = jax.lax.fori_loop(jnp.int32(0), jnp.int32(m), body, MR)
-    return MR[:, m:]
-
-
 def backward_pass_pallas(
     fleet: Fleet, cost: GameCost, X, U, mu, interpret: bool = False
 ):
@@ -518,7 +485,7 @@ def backward_pass_pallas(
             Q_xu = jnp.dot(A_t.T, PregB, preferred_element_type=dtype, precision=_HI)
 
             rhs = jnp.concatenate([Q_ux, Q_u.T], axis=1)
-            sol = _gauss_jordan_solve(Q_uu, rhs)
+            sol = gauss_jordan_solve(Q_uu, rhs)
             K_t = -sol[:, :nxf]
             d_col = -sol[:, nxf : nxf + 1]  # (nuf, 1)
 

@@ -502,6 +502,14 @@ def ilqr_solve_steppable(
     from time import perf_counter
 
     x0 = jnp.asarray(x0)
+    # Match _ilqr_solve: follow the input dtype end to end (a float32 x0 with
+    # a float64 cost must not silently mix precision in the deadline path).
+    cost = jax.tree.map(
+        lambda a: a.astype(x0.dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        cost,
+    )
     if U0 is None:
         U0 = jnp.zeros((N, fleet.n_agents, fleet.nu_p), dtype=x0.dtype)
     U0 = jnp.asarray(U0, dtype=x0.dtype)

@@ -3,11 +3,13 @@
 The reference materializes one Python ``ilqrProblem`` per agent and solves
 them sequentially or in worker processes (problem.py:36-47,
 distributed.py:56-97).  Here each agent's neighborhood becomes one row of a
-fixed-width gather: slot ``k`` of subproblem ``i`` holds the k-th member
-(ascending agent order, like the reference's sorted graphs,
-distributed.py:246), padded slots are masked out.  The whole batch then
-solves as ONE vmapped iLQR -- and shards over devices along the subproblem
-axis.
+fixed-width gather: slot 0 of subproblem ``i`` always holds the owner agent
+``i`` itself (so truncation can never drop the owner), the remaining slots
+hold the other members in ascending agent order (the reference's graphs are
+sorted, distributed.py:246; slot order is semantically neutral -- every
+subproblem op is slot-equivariant).  Padded slots are masked out.  The whole
+batch then solves as ONE vmapped iLQR -- and shards over devices along the
+subproblem axis.
 """
 
 from __future__ import annotations
@@ -31,20 +33,21 @@ def gather_subproblems(membership, K: int | None = None) -> SubproblemBatch:
 
     ``K`` is the static slot count (defaults to n: no truncation, matching
     the reference which never truncates).  If ``K < n`` and a neighborhood
-    exceeds it, the highest-index members are dropped.
+    exceeds it, the highest-index non-owner members are dropped; the owner
+    itself always occupies slot 0 and can never be dropped.
     """
     n = membership.shape[0]
     K = n if K is None else K
     arange = jnp.arange(n)
-    # Sort key: valid members first (ascending index), padding after.
+    is_owner = jnp.eye(n, dtype=bool)
+    # Sort key: owner first, then valid members ascending, padding after.
     key = jnp.where(membership, arange[None, :], n + arange[None, :])
+    key = jnp.where(is_owner, -1, key)
     order = jnp.argsort(key, axis=1)  # (n, n)
     member_idx = order[:, :K].astype(jnp.int32)
     member_mask = jnp.take_along_axis(membership, order[:, :K], axis=1)
     sizes = jnp.sum(membership, axis=1).astype(jnp.int32)
-    owner_slot = jnp.argmax(member_idx == arange[:, None], axis=1).astype(
-        jnp.int32
-    )
+    owner_slot = jnp.zeros((n,), jnp.int32)
     # Padded slots gather the owner itself (harmless; masked out).
     member_idx = jnp.where(
         member_mask, member_idx, arange[:, None].astype(jnp.int32)

@@ -51,7 +51,7 @@ class TestInteractionGraph:
 
 
 class TestGatherPlan:
-    def test_members_sorted_and_padded(self):
+    def test_members_owner_first_then_sorted(self):
         M = jnp.asarray(
             np.array([[1, 0, 1, 0], [0, 1, 0, 0], [1, 0, 1, 1], [0, 0, 1, 1]], bool)
         )
@@ -60,16 +60,22 @@ class TestGatherPlan:
         mm = np.asarray(b.member_mask)
         assert mi[0, :2].tolist() == [0, 2] and mm[0].tolist() == [1, 1, 0, 0]
         assert mi[1, 0] == 1 and mm[1].tolist() == [1, 0, 0, 0]
-        assert mi[2, :3].tolist() == [0, 2, 3]
+        assert mi[2, :3].tolist() == [2, 0, 3]  # owner 2 first, rest ascending
+        assert mi[3, :2].tolist() == [3, 2]
         assert np.asarray(b.sizes).tolist() == [2, 1, 3, 2]
-        # Owner slot: position of i in its sorted member list.
-        assert np.asarray(b.owner_slot).tolist() == [0, 0, 1, 1]
+        # Owner always occupies slot 0 of its own subproblem.
+        assert np.asarray(b.owner_slot).tolist() == [0, 0, 0, 0]
+        assert (mi[:, 0] == np.arange(4)).all()
 
-    def test_truncation(self):
+    def test_truncation_keeps_owner(self):
         M = jnp.ones((4, 4), bool)
         b = gather_subproblems(M, K=2)
-        assert np.asarray(b.member_idx).shape == (4, 2)
-        # Owner of agent 3 would be dropped by ascending-index truncation;
+        mi = np.asarray(b.member_idx)
+        assert mi.shape == (4, 2)
+        # Truncation drops high-index non-owners, NEVER the owner itself
+        # (a dropped owner would silently extract another agent's rows).
+        assert (mi[:, 0] == np.arange(4)).all()
+        assert np.asarray(b.member_mask)[:, 0].tolist() == [1.0] * 4
         # sizes still report the true neighborhood.
         assert np.asarray(b.sizes).tolist() == [4, 4, 4, 4]
 

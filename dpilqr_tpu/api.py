@@ -283,12 +283,20 @@ class ReferenceCost(Cost):
 
 
 class ProximityCost(Cost):
-    """Pairwise penalty ``sum min(0, d - r)^2`` (reference cost.py:110-171)."""
+    """Pairwise penalty ``sum min(0, d - r)^2`` (reference cost.py:110-171).
 
-    def __init__(self, x_dims, radius, n_dims=None):
+    ``eval_n_d``: reference-parity mode -- evaluate the penalty with this
+    many position dimensions (the reference defaults to 2-D evaluation for
+    uniform-dimension fleets, cost.py:122-123) while quadraticizing with
+    ``min(n_dims)`` (cost.py:135-171).  None (default) keeps evaluation and
+    derivatives consistent at ``min(n_dims)``.
+    """
+
+    def __init__(self, x_dims, radius, n_dims=None, eval_n_d=None):
         self.x_dims = list(x_dims)
         self.radius = radius
         self.n_dims = list(n_dims) if n_dims is not None else [2] * len(x_dims)
+        self.eval_n_d = eval_n_d
         self.n_agents = len(x_dims)
 
     def _block(self, x):
@@ -305,6 +313,7 @@ class ProximityCost(Cost):
             np.zeros((n, nx, nx)),
             radius=self.radius,
             n_pos=np.asarray(self.n_dims),
+            prox_eval_n_d=self.eval_n_d,
         )
 
     def __call__(self, x):
@@ -402,10 +411,13 @@ class GameCost(Cost):
                 if rc.id in prob_ids:
                     rcs.append(rc)
                     nds.append(nd)
+            eval_n_d = self.prox_cost.eval_n_d if self.prox_cost else None
             out.append(
                 GameCost(
                     rcs,
-                    ProximityCost([n_states] * len(rcs), radius, nds),
+                    ProximityCost(
+                        [n_states] * len(rcs), radius, nds, eval_n_d=eval_n_d
+                    ),
                 )
             )
         return out
@@ -432,6 +444,9 @@ class GameCost(Cost):
         return _costs.make_game_cost(
             xf, Q, R, Qf, radius=radius, n_pos=n_pos,
             prox_weight=self.PROX_WEIGHT, ref_weight=self.REF_WEIGHT,
+            prox_eval_n_d=(
+                self.prox_cost.eval_n_d if self.prox_cost else None
+            ),
         )
 
 

@@ -13,10 +13,14 @@ The pair gradient/Hessian here is the exact derivative of the penalty
 (the reference's closed form at cost.py:269-315 is algebraically identical:
 ``H = (2 - 2r/d) I + (2r/d^3) dd^T`` inside the radius, zero outside).
 
-Known reference quirk NOT replicated: for fleets with uniform ``n_dims`` the
+Reference quirk, behind a flag: for fleets with uniform ``n_dims`` the
 reference *evaluates* proximity with 2-D distances (cost.py:122-123 defaults
 ``n_d=2``) while *quadraticizing* with ``min(n_dims)`` -- an inconsistency
-between the cost and its derivatives.  Here both use ``min(n_pos_i, n_pos_j)``.
+between the cost and its derivatives.  ``make_game_cost(...,
+prox_eval_n_d=2)`` reproduces that behavior exactly (``n_pos_eval`` governs
+evaluation, ``n_pos`` the derivatives); the default (``None``) keeps both
+consistent at ``min(n_pos_i, n_pos_j)`` (SURVEY 7: both modes, exact mode
+as the better-conditioned default).
 
 Everything is expressed on the padded block layout ``x: (n, nx_p)``,
 ``u: (n, nu_p)``.  ``agent_mask`` zeroes padded subproblem slots (a slot with
@@ -43,10 +47,11 @@ class GameCost(NamedTuple):
     R: jnp.ndarray  # (n, nu_p, nu_p) stage control weights
     Qf: jnp.ndarray  # (n, nx_p, nx_p) terminal state weights
     radius: jnp.ndarray  # () proximity radius
-    n_pos: jnp.ndarray  # (n,) int: 2 or 3 position coordinates per agent
+    n_pos: jnp.ndarray  # (n,) int: 2 or 3 position coords (derivatives)
     agent_mask: jnp.ndarray  # (n,) 1.0 = real agent, 0.0 = padded slot
     prox_weight: jnp.ndarray  # () default 200.0
     ref_weight: jnp.ndarray  # () default 1.0
+    n_pos_eval: jnp.ndarray  # (n,) position coords for EVALUATION (parity)
 
 
 def make_game_cost(
@@ -60,10 +65,15 @@ def make_game_cost(
     prox_weight=200.0,
     ref_weight=1.0,
     dtype=None,
+    prox_eval_n_d=None,
 ) -> GameCost:
     """Build a GameCost from per-agent arrays.
 
     ``xf: (n, nx_p)``; ``Q/Qf: (n, nx_p, nx_p)``; ``R: (n, nu_p, nu_p)``.
+    ``prox_eval_n_d``: if set (e.g. 2), the proximity *penalty* is evaluated
+    with that many position dimensions while its derivatives keep
+    ``n_pos`` -- the reference's exact behavior for uniform-dimension
+    fleets (dpilqr/cost.py:122-133 vs :135-171).
     """
     xf = jnp.asarray(xf, dtype=dtype)
     n = xf.shape[0]
@@ -72,16 +82,22 @@ def make_game_cost(
         n_pos = np.full((n,), 2, dtype=np.int32)
     if agent_mask is None:
         agent_mask = np.ones((n,))
+    n_pos = jnp.asarray(n_pos, dtype=jnp.int32)
+    if prox_eval_n_d is None:
+        n_pos_eval = n_pos
+    else:
+        n_pos_eval = jnp.full((n,), int(prox_eval_n_d), dtype=jnp.int32)
     return GameCost(
         xf=xf,
         Q=jnp.asarray(Q, dtype=dtype),
         R=jnp.asarray(R, dtype=dtype),
         Qf=jnp.asarray(Qf, dtype=dtype),
         radius=jnp.asarray(radius, dtype=dtype),
-        n_pos=jnp.asarray(n_pos, dtype=jnp.int32),
+        n_pos=n_pos,
         agent_mask=jnp.asarray(agent_mask, dtype=dtype),
         prox_weight=jnp.asarray(prox_weight, dtype=dtype),
         ref_weight=jnp.asarray(ref_weight, dtype=dtype),
+        n_pos_eval=n_pos_eval,
     )
 
 
@@ -90,12 +106,15 @@ def _pair_indices(n: int):
     return np.triu_indices(n, k=1)
 
 
-def _pair_geometry(cost: GameCost, x):
+def _pair_geometry(cost: GameCost, x, n_pos_src=None):
     """Common pair quantities.
 
     Returns (delta, d, w_pair, comp) where ``delta: (npairs, 3)`` is the
     component-masked position difference, ``d: (npairs,)`` the distance and
     ``w_pair`` the pair activity weight (mask_i * mask_j * [d < r]).
+    ``n_pos_src`` selects the per-agent position dimensionality (defaults
+    to ``cost.n_pos``; evaluation passes ``cost.n_pos_eval`` -- the
+    reference-parity split, see module docstring).
 
     All per-pair reductions are expressed through the signed/absolute
     incidence matrices (matmuls) instead of gathers: on TPU, gather/scatter
@@ -110,7 +129,7 @@ def _pair_geometry(cost: GameCost, x):
     Wa = jnp.abs(W)
 
     delta_raw = jnp.einsum("ip,ia->pa", W, pos)  # pos_i - pos_j per pair
-    n_pos = cost.n_pos.astype(x.dtype)
+    n_pos = (cost.n_pos if n_pos_src is None else n_pos_src).astype(x.dtype)
     nd_pair = 0.5 * (Wa.T @ n_pos - jnp.abs(W.T @ n_pos))  # min per pair
     comp = jnp.arange(3, dtype=x.dtype)[None, :] < nd_pair[:, None]
     delta = delta_raw * comp
@@ -127,7 +146,7 @@ def proximity_cost(cost: GameCost, x):
     n = x.shape[0]
     if n < 2:
         return jnp.zeros((), dtype=x.dtype)
-    _, d, w_pair, _ = _pair_geometry(cost, x)
+    _, d, w_pair, _ = _pair_geometry(cost, x, cost.n_pos_eval)
     pen = jnp.minimum(0.0, d - cost.radius) ** 2
     return jnp.sum(w_pair * pen)
 

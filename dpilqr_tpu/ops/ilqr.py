@@ -267,6 +267,10 @@ def resolve_sweep_backend(cfg: SolverConfig, fleet, N: int, arrays=()) -> str:
         on_tpu = jax.default_backend() == "tpu"
     if not on_tpu:
         return "xla"
+    # Mosaic has no 64-bit path; float64 problems stay on the XLA scans.
+    for a in arrays:
+        if hasattr(a, "dtype") and jnp.dtype(a.dtype).itemsize == 8:
+            return "xla"
     if len({s.rk4_substeps for s in fleet.specs}) != 1:
         return "xla"
     if not fits_vmem(

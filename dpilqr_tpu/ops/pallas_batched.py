@@ -1,0 +1,1032 @@
+"""Batched Pallas TPU sweep kernels: ALL subproblems in ONE kernel program.
+
+The distributed solve (parallel/distributed.py) turns the n per-agent
+subproblems of the reference's ``solve_distributed``
+(dpilqr/distributed.py:25-103) into one rectangular batch of S subproblems
+with K padded slots each.  Round 1 solved that batch with a vmapped
+``lax.scan`` iLQR: correct, but each scan step dispatches ~30 small device
+ops whose fixed launch overhead dominates wall time.  These kernels fuse
+each full sweep -- the Riccati backward recursion (dpilqr/control.py:116-148)
+and the 10-alpha closed-loop line-search rollout (control.py:95-114,162) --
+into ONE Pallas program over ALL subproblems, with the time loop as the
+Pallas grid (per-step inputs/outputs stream HBM<->VMEM, double-buffered by
+the Pallas pipeline; the value function / rolled state persist in VMEM
+scratch across grid steps).
+
+Layout: the subproblem axis S lives on the LANES (last dim) of every array,
+so each elementwise op processes all subproblems as full vector registers.
+Per-subproblem matrices (P, Q_uu, gains) keep their small row/col dims on
+sublanes / untiled leading axes.  Mosaic cannot lower batched ``dot_general``
+at this size without padding every operand's last two dims to MXU tiles
+(measured: scoped-VMEM OOM at S=128), so all matrix products are expressed
+as block-structured VPU contractions instead:
+
+- dynamics Jacobians A, B are block-diagonal per slot (nx_p x nx_p blocks),
+  so sandwiches like ``A^T P A`` decompose into K small per-slot outer
+  products accumulated over nx_p (``_bdT_mul`` / ``_mul_bd``);
+- contractions over a small leading axis (``Q_ux^T K``) unroll into per-row
+  outer-product FMAs (``_t_dot``);
+- the ``Q_uu`` gain solve is Gauss-Jordan without pivoting (SPD; same
+  elimination as ops/ilqr.gauss_jordan_solve) with the pivot loop statically
+  unrolled so every row access is a static slice (``_gj_solve``).
+
+Value recursion uses the reference's full-form update with explicit
+symmetrization (dpilqr/control.py:144-146) -- the algebraically-equal DDP
+simplification ``V_x = Q_x + Q_ux^T d`` drifts from the XLA path in float32
+(kappa(P) ~ 1e4 across 50 sequential steps) enough to flip borderline
+line-search accepts; tests assert near-equivalence to the XLA path
+(tests/test_pallas_batched.py).
+
+Forward kernel layout: columns ``C = K * CS`` with ``CS = n_alpha * S`` and
+``col = k * CS + alpha * S + s`` -- slot-major, so per-slot column blocks
+are static lane slices.  Callers pad S so CS is a multiple of the 128-lane
+tile, keeping every block boundary register-aligned
+(``pad_batch_for_lanes``).
+
+VMEM: ``fits_vmem_batched`` bounds the working set; callers fall back to
+the vmapped XLA scan path when it does not fit.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..models.fleet import Fleet
+from ..models.vectorized import blended_f_smajor
+from .costs import (
+    GameCost,
+    _pair_indices,
+    assemble_pair_hessian,
+    diag_embed,
+    quadraticize_stage_compact,
+    quadraticize_terminal_compact,
+)
+
+
+# Index maps must stay int32 end to end: under jax_enable_x64 a python-int
+# literal promotes the arithmetic to int64, which Mosaic cannot legalize.
+_I0 = np.int32(0)
+
+
+def _vspec(shape=None):
+    """Full-array VMEM spec.  With a grid present, Pallas synthesizes a
+    default index map returning python-int zeros, which become int64 under
+    jax_enable_x64 and fail Mosaic legalization -- so when a shape is given
+    we pin an explicit int32 zero map."""
+    if shape is None:
+        return pl.BlockSpec(memory_space=pltpu.VMEM)
+    nd = len(shape)
+    return pl.BlockSpec(
+        tuple(shape), lambda t: (_I0,) * nd, memory_space=pltpu.VMEM
+    )
+
+
+def _tspec(shape):
+    """BlockSpec streaming one leading-axis step per grid iteration."""
+    nd = len(shape)
+    return pl.BlockSpec(
+        (1, *shape), lambda t: (t,) + (_I0,) * nd, memory_space=pltpu.VMEM
+    )
+
+
+def _tspec_rev(shape, N):
+    """Reverse-time streaming BlockSpec (backward sweep runs t = N-1 .. 0)."""
+    nd = len(shape)
+    return pl.BlockSpec(
+        (1, *shape),
+        lambda t: (np.int32(N - 1) - t,) + (_I0,) * nd,
+        memory_space=pltpu.VMEM,
+    )
+
+
+def pad_batch_for_lanes(S: int, n_alpha: int) -> int:
+    """Smallest S' >= S with ``n_alpha * S'`` a multiple of 128 (lane tile).
+
+    Keeps every per-slot column block of the forward kernel lane-aligned.
+    """
+    g = np.gcd(n_alpha, 128)
+    unit = 128 // g
+    return int(-(-S // unit) * unit)
+
+
+def fits_vmem_batched(
+    N: int,
+    K: int,
+    nx_p: int,
+    nu_p: int,
+    S: int,
+    n_alpha: int,
+    n_branches: int = 1,
+    dtype_bytes: int = 4,
+    budget: int = 10 * 1024 * 1024,
+) -> bool:
+    """Conservative VMEM bound for the batched sweep kernels."""
+    nxf, nuf = K * nx_p, K * nu_p
+    npairs = max(K * (K - 1) // 2, 1)
+    CS = n_alpha * S
+    C = K * CS
+    forward = (
+        # streamed (x2 double buffer): Xr, Ur, dr, G + outputs Xo, Uo
+        2 * (2 * nx_p * C + 3 * nu_p * C + nxf * nuf * S)
+        # persistent consts: Q, R, Qf, xf, x0, masks, pair tables
+        + (2 * nx_p * nx_p + nu_p * nu_p + 2 * nx_p + 4) * C
+        + n_branches * C
+        + npairs * 4 * CS
+        # live temps (du tiles, rk4 stages, cost rows)
+        + (2 * nuf + 10 * nx_p) * CS
+    )
+    backward = (
+        # streamed x2: A, B, Luu, Lxx, Lx, Lu + outputs Kg, d
+        2
+        * (
+            K * nx_p * (nx_p + nu_p)
+            + K * nu_p * nu_p
+            + nxf * nxf
+            + nxf
+            + 2 * nuf
+            + nuf * nxf
+        )
+        * S
+        # persistent: P, p
+        + (nxf * nxf + nxf) * S
+        # live temps: Preg, AtP, Qxx, W1, Qux, Quu, GJ state, t_dots
+        + (5 * nxf * nxf + 3 * nuf * nxf + 2 * nuf * nuf) * S
+    )
+    return max(forward, backward) * dtype_bytes < budget
+
+
+# ---------------------------------------------------------------------------
+# In-kernel block-structured linear algebra (S on lanes).
+# ---------------------------------------------------------------------------
+
+
+def _bdT_vec(Xr2, v2, K, p, q):
+    """``X_bd^T v`` for block-diagonal X with blocks ``X_k (p, q)``.
+
+    ``Xr2: (K*p*q, S)`` rows ordered ``(k, b, j)`` holding ``X_k[b, j]``;
+    ``v2: (K*p, S)``.  Returns ``(K*q, S)``.
+    """
+    blocks = []
+    for k in range(K):
+        acc = None
+        for b in range(p):
+            r0 = (k * p + b) * q
+            term = Xr2[r0 : r0 + q, :] * v2[k * p + b : k * p + b + 1, :]
+            acc = term if acc is None else acc + term
+        blocks.append(acc)
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _bdT_mul(Xr2, M3, K, p, q):
+    """``X_bd^T M`` for block-diagonal X (blocks ``X_k (p, q)``) and dense
+    ``M3 (K*p, C, S)``.  Returns ``(K*q, C, S)``."""
+    blocks = []
+    for k in range(K):
+        acc = None
+        for b in range(p):
+            r0 = (k * p + b) * q
+            term = Xr2[r0 : r0 + q, :][:, None, :] * M3[k * p + b][None, :, :]
+            acc = term if acc is None else acc + term
+        blocks.append(acc)
+    return jnp.concatenate(blocks, axis=0)
+
+
+def _mul_bd(M3, Xr2, K, p, q, extra_rowblocks=None):
+    """``M X_bd`` for dense ``M3 (R, K*p, S)`` and block-diagonal X
+    (blocks ``X_k (p, q)``).  Returns ``(R, K*q, S)``.
+
+    ``extra_rowblocks``: optional per-slot ``(R, q, S)`` addends (used to
+    fold the block-diagonal ``L_uu`` into ``Q_uu`` without a separate
+    embed); callable ``k -> array`` or None.
+    """
+    blocks = []
+    for k in range(K):
+        acc = None if extra_rowblocks is None else extra_rowblocks(k)
+        for b in range(p):
+            r0 = (k * p + b) * q
+            mcol = M3[:, k * p + b : k * p + b + 1, :]  # (R, 1, S)
+            term = mcol * Xr2[r0 : r0 + q, :][None, :, :]  # (R, q, S)
+            acc = term if acc is None else acc + term
+        blocks.append(acc)
+    return jnp.concatenate(blocks, axis=1)
+
+
+def _t_dot(M1, M2, V):
+    """``M1^T M2`` over the leading axis: ``sum_v M1[v,i,s] M2[v,j,s]``.
+
+    ``M1 (V, I, S)``, ``M2 (V, J, S)`` -> ``(I, J, S)``."""
+    acc = None
+    for v in range(V):
+        term = M1[v][:, None, :] * M2[v][None, :, :]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _t_dot_vec(M1, w, V):
+    """``sum_v M1[v, j, s] w[v, s]`` -> ``(J, S)``."""
+    acc = None
+    for v in range(V):
+        term = M1[v] * w[v : v + 1, :]
+        acc = term if acc is None else acc + term
+    return acc
+
+
+def _gj_solve(Quu, Qux, Qu, nuf):
+    """Gauss-Jordan solve ``Quu [X | x] = [Qux | Qu]`` without pivoting.
+
+    ``Quu (nuf, nuf, S)`` SPD, ``Qux (nuf, nxf, S)``, ``Qu (nuf, S)``.
+    The pivot loop is statically unrolled: every row read is a static
+    slice; pivot rows are restored with one-hot blends.  Same elimination
+    order as ops/ilqr.gauss_jordan_solve (tests assert agreement)."""
+    dtype = Quu.dtype
+    rh3 = jax.lax.broadcasted_iota(jnp.int32, (nuf, 1, 1), 0)
+    rh2 = jax.lax.broadcasted_iota(jnp.int32, (nuf, 1), 0)
+    for kp in range(nuf):
+        inv = 1.0 / Quu[kp][kp : kp + 1, :]  # (1, S)
+        pivq = Quu[kp] * inv  # (nuf, S)
+        pivx = Qux[kp] * inv  # (nxf, S)
+        pivu = Qu[kp : kp + 1, :] * inv  # (1, S)
+        colq3 = Quu[:, kp : kp + 1, :]  # (nuf, 1, S)
+        colq2 = colq3[:, 0, :]  # (nuf, S)
+        hot3 = (rh3 == kp).astype(dtype)
+        hot2 = (rh2 == kp).astype(dtype)
+        Quu = Quu - colq3 * pivq[None, :, :]
+        Qux = Qux - colq3 * pivx[None, :, :]
+        Qu = Qu - colq2 * pivu
+        # Restore the pivot row (zeroed by its own elimination above).
+        Quu = Quu * (1.0 - hot3) + hot3 * pivq[None, :, :]
+        Qux = Qux * (1.0 - hot3) + hot3 * pivx[None, :, :]
+        Qu = Qu * (1.0 - hot2) + hot2 * pivu
+    return Qux, Qu
+
+
+# ---------------------------------------------------------------------------
+# Batched backward pass.
+# ---------------------------------------------------------------------------
+
+
+def _quadraticize_batch(cost_b: GameCost, X, U):
+    """Time-batched quadraticization for a batch of subproblems.
+
+    ``X (S, N+1, K, nx_p)``, ``U (S, N, K, nu_p)``; ``cost_b`` has a leading
+    S axis on every leaf.  Returns flat-lanes arrays for the kernel plus the
+    terminal value seed.
+    """
+    S, Np1, K, nx_p = X.shape
+    N = Np1 - 1
+    nu_p = U.shape[-1]
+    nxf = K * nx_p
+
+    def per_problem(c, Xp, Up):
+        return jax.vmap(lambda x, u: quadraticize_stage_compact(c, x, u))(
+            Xp[:-1], Up
+        )
+
+    L_x, L_u, L_xx_diag, L_uu, H = jax.vmap(per_problem)(cost_b, X, U)
+
+    # Full state Hessian incl. proximity coupling (assembled here; the
+    # kernel consumes it dense since the coupling is not block-diagonal).
+    L_xx = jax.vmap(jax.vmap(diag_embed))(L_xx_diag)
+    if K > 1:
+        L_xx = L_xx + jax.vmap(
+            jax.vmap(lambda h: assemble_pair_hessian(h, K, nx_p))
+        )(H)
+
+    def per_terminal(c, xT):
+        L_xT, L_xxT_diag, HT = quadraticize_terminal_compact(c, xT)
+        L_xxT = diag_embed(L_xxT_diag)
+        if K > 1:
+            L_xxT = L_xxT + assemble_pair_hessian(HT, K, nx_p)
+        return L_xT, L_xxT
+
+    L_xT, L_xxT = jax.vmap(per_terminal)(cost_b, X[:, -1])
+
+    # L_uu block-diagonal embed happens HERE (XLA) rather than in-kernel:
+    # assembling it from row slices at mixed sublane offsets trips Mosaic's
+    # concat layout checks, and at (N, nuf, nuf, S) it is tiny in HBM.
+    L_uu_bd = jax.vmap(jax.vmap(diag_embed))(L_uu)  # (S, N, K, nu_p, K, nu_p)
+    out = dict(
+        # (N, K*nx_p, S) etc.: time leading, S on lanes.
+        L_x=L_x.reshape(S, N, nxf).transpose(1, 2, 0),
+        L_u=L_u.reshape(S, N, K * nu_p).transpose(1, 2, 0),
+        L_uu=L_uu_bd.reshape(S, N, K * nu_p, K * nu_p).transpose(1, 2, 3, 0),
+        L_xx=L_xx.reshape(S, N, nxf, nxf).transpose(1, 2, 3, 0),
+        p0=L_xT.reshape(S, nxf).transpose(1, 0),
+        P0=L_xxT.reshape(S, nxf, nxf).transpose(1, 2, 0),
+    )
+    return out
+
+
+def _linearize_batch(fleet: Fleet, cost_b: GameCost, mids_s, X, U):
+    """Batched discretized Jacobians in flat-lanes layout.
+
+    Returns ``A (N, K*nx_p*nx_p, S)`` rows (k, b, a) and
+    ``B (N, K*nx_p*nu_p, S)`` rows (k, b, j); padded slots get B = 0
+    (decoupling, see ops/ilqr._backward_pass).
+    """
+    S, Np1, K, nx_p = X.shape
+    N = Np1 - 1
+    nu_p = U.shape[-1]
+
+    def per_problem(m, Xp, Up):
+        return jax.vmap(lambda x, u: fleet.linearize_dyn(m, x, u))(Xp[:-1], Up)
+
+    A, B = jax.vmap(per_problem)(mids_s, X, U)  # (S, N, K, nx_p, nx_p/nu_p)
+    B = B * cost_b.agent_mask[:, None, :, None, None]
+    A = A.reshape(S, N, K * nx_p * nx_p).transpose(1, 2, 0)
+    B = B.reshape(S, N, K * nx_p * nu_p).transpose(1, 2, 0)
+    return A, B
+
+
+def backward_pass_batched(
+    fleet: Fleet,
+    cost_b: GameCost,
+    mids_s,
+    X,
+    U,
+    mu,
+    interpret: bool = False,
+):
+    """Batched fused Riccati sweep (reference control.py:116-148).
+
+    ``X (S, N+1, K, nx_p)``, ``U (S, N, K, nu_p)``, ``mu (S,)``.
+    Returns ``Kg (N, nuf, nxf, S)`` and ``d (N, nuf, S)`` (kernel-native
+    layout; see forward_pass_batched which consumes them directly).
+    """
+    S, Np1, K, nx_p = X.shape
+    N = Np1 - 1
+    nu_p = U.shape[-1]
+    nxf, nuf = K * nx_p, K * nu_p
+    dtype = X.dtype
+
+    q = _quadraticize_batch(cost_b, X, U)
+    A, B = _linearize_batch(fleet, cost_b, mids_s, X, U)
+    mu3 = jnp.asarray(mu, dtype).reshape(1, 1, S)
+
+    def kernel(
+        A_ref, B_ref, Luu_ref, Lxx_ref, Lx_ref, Lu_ref, mu_ref, p0_ref,
+        P0_ref, Kg_ref, d_ref, p_s, P_s,
+    ):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            p_s[:] = p0_ref[:]
+            P_s[:] = P0_ref[:]
+
+        p = p_s[:]  # (nxf, S)
+        P = P_s[:]  # (nxf, nxf, S)
+        A2 = A_ref[0]  # (K*nx_p*nx_p, S)
+        B2 = B_ref[0]  # (K*nx_p*nu_p, S)
+
+        eye = (
+            jax.lax.broadcasted_iota(jnp.int32, (nxf, nxf, 1), 0)
+            == jax.lax.broadcasted_iota(jnp.int32, (nxf, nxf, 1), 1)
+        ).astype(dtype)
+        Preg = P + mu_ref[:] * eye
+
+        Q_x = Lx_ref[0] + _bdT_vec(A2, p, K, nx_p, nx_p)  # (nxf, S)
+        Q_u = Lu_ref[0] + _bdT_vec(B2, p, K, nx_p, nu_p)  # (nuf, S)
+
+        AtP = _bdT_mul(A2, P, K, nx_p, nx_p)  # (nxf, nxf, S)
+        Q_xx = Lxx_ref[0] + _mul_bd(AtP, A2, K, nx_p, nx_p)
+
+        W1 = _bdT_mul(B2, Preg, K, nx_p, nu_p)  # B^T Preg (nuf, nxf, S)
+        Q_ux = _mul_bd(W1, A2, K, nx_p, nx_p)  # (nuf, nxf, S)
+
+        Q_uu = _mul_bd(W1, B2, K, nx_p, nu_p) + Luu_ref[0]
+
+        sol_K, sol_d = _gj_solve(Q_uu, Q_ux, Q_u, nuf)
+        K_t = -sol_K  # (nuf, nxf, S)
+        d_t = -sol_d  # (nuf, S)
+        Kg_ref[0] = K_t
+        d_ref[0] = d_t
+
+        # Full-form value update exactly as the reference / XLA path
+        # (control.py:144-146): the DDP-simplified form (Q_x + Q_ux^T d) is
+        # algebraically equal but numerically different enough in float32
+        # (kappa(P) ~ 1e4 over 50 sequential steps) to flip borderline
+        # line-search accepts against the XLA path.
+        w = _t_dot_vec(Q_uu, d_t, nuf) + Q_u  # Q_uu d + Q_u (symmetry)
+        p_s[:] = Q_x + _t_dot_vec(K_t, w, nuf) + _t_dot_vec(Q_ux, d_t, nuf)
+        QuuK = _t_dot(Q_uu, K_t, nuf)  # Q_uu K (symmetric Q_uu)
+        P_new = (
+            Q_xx
+            + _t_dot(K_t, QuuK, nuf)  # K^T Q_uu K
+            + _t_dot(K_t, Q_ux, nuf)  # K^T Q_ux
+            + _t_dot(Q_ux, K_t, nuf)  # Q_ux^T K
+        )
+        P_s[:] = 0.5 * (P_new + jnp.transpose(P_new, (1, 0, 2)))
+
+    Kg, d = pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=[
+            _tspec_rev((K * nx_p * nx_p, S), N),
+            _tspec_rev((K * nx_p * nu_p, S), N),
+            _tspec_rev((nuf, nuf, S), N),
+            _tspec_rev((nxf, nxf, S), N),
+            _tspec_rev((nxf, S), N),
+            _tspec_rev((nuf, S), N),
+            _vspec((1, 1, S)),  # mu
+            _vspec((nxf, S)),  # p0
+            _vspec((nxf, nxf, S)),  # P0
+        ],
+        out_specs=(
+            _tspec_rev((nuf, nxf, S), N),
+            _tspec_rev((nuf, S), N),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, nuf, nxf, S), dtype),
+            jax.ShapeDtypeStruct((N, nuf, S), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nxf, S), dtype),
+            pltpu.VMEM((nxf, nxf, S), dtype),
+        ],
+        interpret=interpret,
+    )(A, B, q["L_uu"], q["L_xx"], q["L_x"], q["L_u"], mu3, q["p0"], q["P0"])
+    return Kg, d
+
+
+# ---------------------------------------------------------------------------
+# Batched forward pass (line search over all alphas, all subproblems).
+# ---------------------------------------------------------------------------
+
+
+def _tile_CS(arr_S_last, n_alpha):
+    """Tile an (..., S) array over alphas -> (..., n_alpha * S), alpha-major
+    within the new axis (col = alpha * S + s)."""
+    shape = arr_S_last.shape
+    out = jnp.broadcast_to(
+        arr_S_last[..., None, :], (*shape[:-1], n_alpha, shape[-1])
+    )
+    return out.reshape(*shape[:-1], n_alpha * shape[-1])
+
+
+def _tile_C(arr_SK, n_alpha):
+    """(..., K, S) -> (..., K * n_alpha * S) with col = k*CS + a*S + s."""
+    shape = arr_SK.shape
+    K, S = shape[-2], shape[-1]
+    out = jnp.broadcast_to(
+        arr_SK[..., :, None, :], (*shape[:-2], K, n_alpha, S)
+    )
+    return out.reshape(*shape[:-2], K * n_alpha * S)
+
+
+def forward_pass_batched(
+    fleet: Fleet,
+    cost_b: GameCost,
+    branch_row,
+    X,
+    U,
+    Kg,
+    d,
+    alphas,
+    interpret: bool = False,
+):
+    """Batched fused closed-loop forward sweep (control.py:95-114).
+
+    ``X (S, N+1, K, nx_p)``, ``U (S, N, K, nu_p)`` nominal trajectory;
+    ``Kg (N, nuf, nxf, S)``, ``d (N, nuf, S)`` from backward_pass_batched
+    (pass None for a plain rollout of U); ``alphas (n_alpha,)``;
+    ``branch_row (n_branches, C)`` per-column model-dispatch masks (None for
+    a homogeneous fleet).
+
+    Returns ``X5 (N, nx_p, K, n_alpha, S)`` (states 1..N), ``U5``-alike
+    ``(N, nu_p, K, n_alpha, S)`` and ``J (n_alpha, S)``.
+    """
+    S, Np1, K, nx_p = X.shape
+    N = Np1 - 1
+    nu_p = U.shape[-1]
+    nxf, nuf = K * nx_p, K * nu_p
+    dtype = X.dtype
+    n_alpha = int(alphas.shape[0])
+    CS = n_alpha * S
+    C = K * CS
+    has_gains = Kg is not None
+    has_pairs = K > 1
+    npairs = K * (K - 1) // 2 if has_pairs else 0
+
+    substeps_set = {s.rk4_substeps for s in fleet.specs}
+    if len(substeps_set) != 1:
+        raise ValueError("batched forward pass needs uniform RK4 substeps")
+    substeps = substeps_set.pop()
+    dt = fleet.dt
+    fleet_f = blended_f_smajor(fleet.specs, nx_p)
+    mixed = branch_row is not None
+
+    # --- XLA-side layout prep -------------------------------------------
+    Xsl = X.transpose(1, 3, 2, 0)  # (N+1, nx_p, K, S)
+    Usl = U.transpose(1, 3, 2, 0)  # (N, nu_p, K, S)
+    Xr = _tile_C(Xsl[:-1], n_alpha)  # (N, nx_p, C)
+    Ur = _tile_C(Usl, n_alpha)  # (N, nu_p, C)
+    x0t = _tile_C(Xsl[0], n_alpha)  # (nx_p, C)
+
+    cost_b = jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        cost_b,
+    )
+    xfT = _tile_C(cost_b.xf.transpose(2, 1, 0), n_alpha)  # (nx_p, C)
+    QT = _tile_C(cost_b.Q.transpose(2, 3, 1, 0), n_alpha)  # (nx_p, nx_p, C)
+    RT = _tile_C(cost_b.R.transpose(2, 3, 1, 0), n_alpha)
+    QfT = _tile_C(cost_b.Qf.transpose(2, 3, 1, 0), n_alpha)
+    mrow = _tile_C(cost_b.agent_mask.transpose(1, 0), n_alpha)[None]  # (1, C)
+    refw = jnp.broadcast_to(jnp.asarray(cost_b.ref_weight, dtype), (S,))
+    refw_row = _tile_C(jnp.broadcast_to(refw, (K, S)), n_alpha)[None]
+    radius_row = _tile_CS(
+        jnp.broadcast_to(jnp.asarray(cost_b.radius, dtype), (S,)), n_alpha
+    )[None]  # (1, CS)
+    proxw_row = _tile_CS(
+        jnp.broadcast_to(jnp.asarray(cost_b.prox_weight, dtype), (S,)),
+        n_alpha,
+    )[None]
+    a_rowC = jnp.broadcast_to(
+        jnp.asarray(alphas, dtype)[None, :, None], (K, n_alpha, S)
+    ).reshape(1, C)
+
+    if has_pairs:
+        ii, jj = _pair_indices(K)
+        am = cost_b.agent_mask  # (S, K)
+        pairmask = _tile_CS(
+            (am[:, ii] * am[:, jj]).transpose(1, 0), n_alpha
+        )  # (npairs, CS)
+        # Evaluation dims (parity mode's n_pos_eval; derivatives keep n_pos
+        # and flow through the XLA quadraticize phase).
+        npos = cost_b.n_pos_eval.astype(dtype)  # (S, K)
+        nd_pair = jnp.minimum(npos[:, ii], npos[:, jj])  # (S, npairs)
+        comp = (
+            jnp.arange(3, dtype=dtype)[None, None, :] < nd_pair[:, :, None]
+        ).astype(dtype)  # (S, npairs, 3)
+        paircomp = _tile_CS(comp.transpose(1, 2, 0), n_alpha)  # (npairs,3,CS)
+    else:
+        pairmask = jnp.zeros((1, CS), dtype)
+        paircomp = jnp.zeros((1, 3, CS), dtype)
+
+    if has_gains:
+        G = Kg.transpose(0, 2, 1, 3)  # (N, nxf, nuf, S)
+        dr = _tile_C(
+            d.reshape(N, K, nu_p, S).transpose(0, 2, 1, 3), n_alpha
+        )  # (N, nu_p, C)
+    else:
+        G = jnp.zeros((N, 1, 1, S), dtype)
+        dr = jnp.zeros((N, 1, 1), dtype)
+
+    kpos = min(3, nx_p)
+
+    def kernel(*refs):
+        i = 0
+        Xr_ref = refs[i]; i += 1
+        Ur_ref = refs[i]; i += 1
+        G_ref = refs[i]; i += 1
+        dr_ref = refs[i]; i += 1
+        x0_ref = refs[i]; i += 1
+        a_ref = refs[i]; i += 1
+        xf_ref = refs[i]; i += 1
+        Q_ref = refs[i]; i += 1
+        R_ref = refs[i]; i += 1
+        Qf_ref = refs[i]; i += 1
+        m_ref = refs[i]; i += 1
+        refw_ref = refs[i]; i += 1
+        rad_ref = refs[i]; i += 1
+        proxw_ref = refs[i]; i += 1
+        pm_ref = refs[i]; i += 1
+        pc_ref = refs[i]; i += 1
+        ex_ref = refs[i]; i += 1
+        if mixed:
+            bm_ref = refs[i]; i += 1
+        Xo_ref = refs[i]; i += 1
+        Uo_ref = refs[i]; i += 1
+        Jo_ref = refs[i]; i += 1
+        x_s = refs[i]; i += 1
+        J_s = refs[i]; i += 1
+
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            x_s[:] = x0_ref[:]
+            J_s[:] = jnp.zeros_like(J_s)
+
+        x = x_s[:]  # (nx_p, C)
+        mk = m_ref[:]
+        xfk = xf_ref[:]
+        radius = rad_ref[:]
+        branch_masks = bm_ref[:] if mixed else None
+
+        def quadform(Mk, v):
+            acc = jnp.zeros((1, C), dtype)
+            for b in range(Mk.shape[0]):
+                Mv_b = jnp.sum(Mk[b] * v, axis=0, keepdims=True)
+                acc = acc + v[b : b + 1, :] * Mv_b
+            return acc
+
+        def reduce_slots(rows):  # (1, C) -> (1, CS)
+            acc = rows[:, :CS]
+            for k in range(1, K):
+                acc = acc + rows[:, k * CS : (k + 1) * CS]
+            return acc
+
+        def prox_cols(xk):  # (nx_p, C) -> (1, CS)
+            acc = jnp.zeros((1, CS), dtype)
+            for p_idx in range(npairs):
+                k1, k2 = int(ii[p_idx]), int(jj[p_idx])
+                compp = pc_ref[p_idx]  # (3, CS)
+                dd2 = jnp.zeros((1, CS), dtype)
+                for c in range(kpos):
+                    dc = (
+                        xk[c : c + 1, k1 * CS : (k1 + 1) * CS]
+                        - xk[c : c + 1, k2 * CS : (k2 + 1) * CS]
+                    ) * compp[c : c + 1, :]
+                    dd2 = dd2 + dc * dc
+                dist = jnp.sqrt(dd2)
+                active = (dist < radius).astype(dtype)
+                pen = jnp.minimum(0.0, dist - radius) ** 2
+                acc = acc + pm_ref[p_idx : p_idx + 1, :] * active * pen
+            return acc
+
+        def stage_cost(xk, uk):
+            e = xk - xfk
+            rows = refw_ref[:] * mk * (quadform(Q_ref[:], e) + quadform(R_ref[:], uk))
+            rows = rows + (1.0 - mk) * jnp.sum(uk * uk, axis=0, keepdims=True)
+            J = reduce_slots(rows)
+            if has_pairs:
+                J = J + proxw_ref[:] * prox_cols(xk)
+            return J
+
+        def terminal_cost(xk):
+            rows = refw_ref[:] * mk * quadform(Qf_ref[:], xk - xfk)
+            J = reduce_slots(rows)
+            if has_pairs:
+                J = J + proxw_ref[:] * prox_cols(xk)
+            return J
+
+        if has_gains:
+            dx = x - Xr_ref[0]
+            G3 = G_ref[0]  # (nxf, nuf, S)
+            du = jnp.zeros((nuf, CS), dtype)
+            for kp in range(K):
+                dxk = dx[:, kp * CS : (kp + 1) * CS]  # (nx_p, CS)
+                for a in range(nx_p):
+                    coeff = G3[kp * nx_p + a]  # (nuf, S)
+                    coeffT = jnp.concatenate([coeff] * n_alpha, axis=1)
+                    du = du + coeffT * dxk[a : a + 1, :]
+            # (K*nu_p, CS) -> (nu_p, K*CS): row extraction via exact 0/1
+            # matmuls -- lane-concat of raw row slices would mix sublane
+            # offsets, which Mosaic's concat cannot relayout.
+            du_cols = jnp.concatenate(
+                [
+                    jnp.dot(
+                        ex_ref[k], du,
+                        preferred_element_type=dtype,
+                        precision=jax.lax.Precision.HIGHEST,
+                    )
+                    for k in range(K)
+                ],
+                axis=1,
+            )  # (nu_p, C)
+            u = Ur_ref[0] + du_cols + a_ref[:] * dr_ref[0]
+        else:
+            u = Ur_ref[0]
+
+        J_s[:] = J_s[:] + stage_cost(x, u)
+        Uo_ref[0] = u
+
+        dh = dt / substeps
+        for _ in range(substeps):
+            k0 = fleet_f(x, u, branch_masks)
+            k1 = fleet_f(x + 0.5 * dh * k0, u, branch_masks)
+            k2 = fleet_f(x + 0.5 * dh * k1, u, branch_masks)
+            k3 = fleet_f(x + dh * k2, u, branch_masks)
+            x = x + dh * (k0 + 2.0 * k1 + 2.0 * k2 + k3) / 6.0
+        Xo_ref[0] = x
+        x_s[:] = x
+
+        @pl.when(t == N - 1)
+        def _():
+            Jo_ref[:] = J_s[:] + terminal_cost(x)
+
+    # Row-extraction selectors for the du scatter: E[k] (nu_p, nuf) picks
+    # slot k's control rows (exact under HIGHEST precision).
+    ex_np = np.zeros((K, nu_p, nuf), np.float64)
+    for k_ in range(K):
+        ex_np[k_, np.arange(nu_p), k_ * nu_p + np.arange(nu_p)] = 1.0
+    ex = jnp.asarray(ex_np, dtype)
+    ins = [Xr, Ur, G, dr, x0t, a_rowC, xfT, QT, RT, QfT, mrow, refw_row,
+           radius_row, proxw_row, pairmask, paircomp, ex]
+    if mixed:
+        ins.append(jnp.asarray(branch_row, dtype))
+    in_specs = [
+        _tspec((nx_p, C)),
+        _tspec((nu_p, C)),
+        _tspec(tuple(G.shape[1:])),
+        _tspec(tuple(dr.shape[1:])),
+    ] + [_vspec(tuple(a.shape)) for a in ins[4:]]
+
+    Xo, Uo, Jo = pl.pallas_call(
+        kernel,
+        grid=(N,),
+        in_specs=in_specs,
+        out_specs=(
+            _tspec((nx_p, C)),
+            _tspec((nu_p, C)),
+            _vspec((1, CS)),
+        ),
+        out_shape=(
+            jax.ShapeDtypeStruct((N, nx_p, C), dtype),
+            jax.ShapeDtypeStruct((N, nu_p, C), dtype),
+            jax.ShapeDtypeStruct((1, CS), dtype),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((nx_p, C), dtype),
+            pltpu.VMEM((1, CS), dtype),
+        ],
+        interpret=interpret,
+    )(*ins)
+
+    X5 = Xo.reshape(N, nx_p, K, n_alpha, S)
+    U5 = Uo.reshape(N, nu_p, K, n_alpha, S)
+    J = Jo.reshape(n_alpha, S)
+    return X5, U5, J
+
+
+def select_alpha(X5, U5, x0_sl, a_idx):
+    """Pick each subproblem's accepted line-search candidate.
+
+    ``X5 (N, nx_p, K, n_alpha, S)``, ``a_idx (S,)`` -> rows-layout
+    trajectories ``X (S, N+1, K, nx_p)``, ``U (S, N, K, nu_p)``;
+    ``x0_sl (S, K, nx_p)`` is prepended as the (unchanged) initial state.
+    """
+    idx = a_idx[None, None, None, None, :]
+    Xsel = jnp.take_along_axis(X5, idx, axis=3)[:, :, :, 0, :]
+    Usel = jnp.take_along_axis(U5, idx, axis=3)[:, :, :, 0, :]
+    X = Xsel.transpose(3, 0, 2, 1)  # (S, N, K, nx_p)
+    U = Usel.transpose(3, 0, 2, 1)
+    return jnp.concatenate([x0_sl[:, None], X], axis=1), U
+
+
+# ---------------------------------------------------------------------------
+# Batched iLQR solve driver.
+# ---------------------------------------------------------------------------
+
+
+from typing import NamedTuple
+
+from ..config import SolverConfig
+from .ilqr import SolveResult, line_search_alphas
+
+
+class _BatchCarry(NamedTuple):
+    X: jnp.ndarray  # (S, N+1, K, nx_p)
+    U: jnp.ndarray  # (S, N, K, nu_p)
+    J: jnp.ndarray  # (S,)
+    mu: jnp.ndarray  # (S,)
+    delta: jnp.ndarray  # (S,)
+    i: jnp.ndarray  # (S,) int32
+    converged: jnp.ndarray  # (S,) bool
+    failed: jnp.ndarray  # (S,) bool
+    active: jnp.ndarray  # (S,) bool
+
+
+def _pad_unit(n_alpha: int) -> int:
+    """Lane-alignment unit for the batch axis: both the n_alpha-column
+    line-search kernel and the 2-column rollout kernel must tile to 128."""
+    unit_ls = 128 // int(np.gcd(n_alpha, 128))
+    return int(np.lcm(unit_ls, 64))
+
+
+def _branch_row(fleet: Fleet, mids_s, n_alpha: int, dtype):
+    """Per-column model-dispatch masks ``(n_branches, K * n_alpha * S)``
+    from the traced per-slot branch indices ``mids_s (S, K)``."""
+    n_br = int(np.max(fleet.branch_index_array)) + 1 if fleet.n_agents else 1
+    if n_br <= 1:
+        return None
+    oh = jax.nn.one_hot(mids_s, n_br, dtype=dtype)  # (S, K, n_br)
+    return _tile_C(oh.transpose(2, 1, 0), n_alpha)  # (n_br, C)
+
+
+def pad_batch(cfg: SolverConfig, sub_cost, x0_s, U0_s, mids_s, enabled):
+    """Pad the subproblem axis to the kernel lane-alignment unit.
+
+    Padded subproblems have agent_mask 0 on every slot (fully decoupled:
+    identity control Hessian via the padded-slot stabilizer, ops/costs.py)
+    and ``enabled=False`` so the solve loop freezes them from the start.
+    Returns the padded pieces plus the original batch size.
+    """
+    S0 = x0_s.shape[0]
+    unit = _pad_unit(cfg.n_ls_iter)
+    S = int(-(-S0 // unit) * unit)
+    enabled = jnp.asarray(enabled, bool)
+    if S == S0:
+        return sub_cost, x0_s, U0_s, mids_s, enabled, S0
+    pad = S - S0
+
+    def pad0(a):
+        fill = jnp.zeros((pad, *a.shape[1:]), a.dtype)
+        return jnp.concatenate([a, fill], axis=0)
+
+    return (
+        jax.tree.map(pad0, sub_cost),
+        pad0(x0_s),
+        pad0(U0_s),
+        pad0(mids_s),
+        jnp.concatenate([enabled, jnp.zeros((pad,), bool)]),
+        S0,
+    )
+
+
+def init_batch_carry(
+    fleet: Fleet,
+    cfg: SolverConfig,
+    sub_cost: GameCost,
+    x0_s,
+    U0_s,
+    mids_s,
+    enabled,
+    interpret: bool = False,
+) -> _BatchCarry:
+    """Initial rollout of the warm start (control.py:80-93) + carry setup.
+
+    Inputs must already be padded (``pad_batch``).  The rollout runs through
+    the forward kernel with zero gains; 2 duplicate alphas keep the lane
+    alignment of ``_pad_unit``.
+    """
+    dtype = x0_s.dtype
+    S, K, nx_p = x0_s.shape
+    N = U0_s.shape[1]
+    branch_row2 = _branch_row(fleet, mids_s, 2, dtype)
+    X0full = jnp.broadcast_to(x0_s[:, None], (S, N + 1, K, nx_p)).astype(dtype)
+    X5r, U5r, J2 = forward_pass_batched(
+        fleet, sub_cost, branch_row2, X0full, U0_s, None, None,
+        jnp.zeros((2,), dtype), interpret=interpret,
+    )
+    Xr, Ur = select_alpha(X5r, U5r, x0_s, jnp.zeros((S,), jnp.int32))
+    active0 = jnp.asarray(enabled, bool) & (cfg.n_lqr_iter > 0)
+    return _BatchCarry(
+        X=Xr,
+        U=Ur,
+        J=J2[0],
+        mu=jnp.full((S,), cfg.mu_init, dtype),
+        delta=jnp.full((S,), cfg.delta_0, dtype),
+        i=jnp.zeros((S,), jnp.int32),
+        converged=jnp.zeros((S,), bool),
+        failed=jnp.zeros((S,), bool),
+        active=active0,
+    )
+
+
+def batched_iteration(
+    fleet: Fleet,
+    cfg: SolverConfig,
+    sub_cost: GameCost,
+    mids_s,
+    x0_s,
+    carry: _BatchCarry,
+    interpret: bool = False,
+) -> _BatchCarry:
+    """One iLQR iteration over the whole padded batch: fused backward +
+    line-search sweeps, per-subproblem accept / regularization / convergence
+    (reference control.py:150-226), with inactive subproblems frozen --
+    elementwise identical to the per-problem while_loop.
+    """
+    dtype = x0_s.dtype
+    c = carry
+    n_alpha = cfg.n_ls_iter
+    alphas = jnp.asarray(line_search_alphas(n_alpha, dtype))
+    branch_row = _branch_row(fleet, mids_s, n_alpha, dtype)
+
+    Kg, dv = backward_pass_batched(
+        fleet, sub_cost, mids_s, c.X, c.U, c.mu, interpret=interpret
+    )
+    X5, U5, J_c = forward_pass_batched(
+        fleet, sub_cost, branch_row, c.X, c.U, Kg, dv, alphas,
+        interpret=interpret,
+    )
+    improved = J_c < c.J[None, :]  # (n_alpha, S)
+    accept = jnp.any(improved, axis=0)
+    a_idx = jnp.argmax(improved, axis=0).astype(jnp.int32)
+    Xn, Un = select_alpha(X5, U5, x0_s, a_idx)
+    Jn = jnp.take_along_axis(J_c, a_idx[None], axis=0)[0]
+
+    upd = c.active & accept
+    X = jnp.where(upd[:, None, None, None], Xn, c.X)
+    U = jnp.where(upd[:, None, None, None], Un, c.U)
+    J = jnp.where(upd, Jn, c.J)
+
+    rel = jnp.abs(
+        (c.J - Jn) / jnp.maximum(jnp.abs(c.J), jnp.finfo(dtype).tiny)
+    )
+    converged_now = upd & (rel < cfg.tol)
+    failed_now = c.active & ~accept
+
+    # Regularization decrease on acceptance (control.py:232-237).
+    delta_dec = jnp.minimum(1.0, c.delta) / cfg.delta_0
+    mu_dec = c.mu * delta_dec
+    mu_dec = jnp.where(mu_dec <= cfg.mu_min, 0.0, mu_dec)
+    mu = jnp.where(upd, mu_dec, c.mu)
+    delta = jnp.where(upd, delta_dec, c.delta)
+
+    i = c.i + c.active.astype(jnp.int32)
+    converged = c.converged | converged_now
+    failed = c.failed | failed_now
+    active = c.active & ~converged_now & ~failed_now & (i < cfg.n_lqr_iter)
+    return _BatchCarry(X, U, J, mu, delta, i, converged, failed, active)
+
+
+def _carry_result(out: _BatchCarry, S0: int) -> SolveResult:
+    return SolveResult(
+        X=out.X[:S0],
+        U=out.U[:S0],
+        J=out.J[:S0],
+        iters=out.i[:S0],
+        converged=out.converged[:S0],
+        failed_line_search=out.failed[:S0],
+    )
+
+
+def solve_subproblems_batched(
+    fleet: Fleet,
+    cfg: SolverConfig,
+    sub_cost: GameCost,
+    x0_s,
+    U0_s,
+    mids_s,
+    enabled,
+    interpret: bool = False,
+) -> SolveResult:
+    """Batched iLQR over the subproblem axis using the fused Pallas sweeps.
+
+    Drop-in replacement for the vmapped-XLA ``_solve_subproblem_batch``
+    (parallel/distributed.py): same per-subproblem accept / regularization /
+    convergence semantics as ``ops.ilqr.solve_core`` (reference
+    control.py:150-226), applied elementwise over subproblems with masked
+    freezing -- identical results to the per-problem while_loop
+    (tests/test_pallas_batched.py asserts parity).
+
+    ``x0_s (S, K, nx_p)``, ``U0_s (S, N, K, nu_p)``, ``mids_s (S, K)``
+    int32 branch indices, ``enabled (S,)`` bool.
+    """
+    dtype = x0_s.dtype
+    sub_cost = jax.tree.map(
+        lambda a: a.astype(dtype)
+        if jnp.issubdtype(a.dtype, jnp.floating)
+        else a,
+        sub_cost,
+    )
+    sub_cost, x0_s, U0_s, mids_s, enabled, S0 = pad_batch(
+        cfg, sub_cost, x0_s, U0_s, mids_s, enabled
+    )
+    c0 = init_batch_carry(
+        fleet, cfg, sub_cost, x0_s, U0_s, mids_s, enabled, interpret
+    )
+    out = jax.lax.while_loop(
+        lambda c: jnp.any(c.active),
+        lambda c: batched_iteration(
+            fleet, cfg, sub_cost, mids_s, x0_s, c, interpret
+        ),
+        c0,
+    )
+    return _carry_result(out, S0)
+
+
+def resolve_batched_backend(
+    cfg: SolverConfig, fleet: Fleet, N: int, K: int, S: int, arrays=()
+) -> str:
+    """Resolve ``cfg.sweep_backend`` for the batched subproblem solve."""
+    import os
+
+    env = os.environ.get("DPILQR_SWEEP_BACKEND")
+    if env:
+        return env
+    if cfg.sweep_backend != "auto":
+        return cfg.sweep_backend
+    on_tpu = False
+    for a in arrays:
+        try:
+            on_tpu = any(d.platform == "tpu" for d in a.devices())
+            break
+        except Exception:
+            continue
+    else:
+        on_tpu = jax.default_backend() == "tpu"
+    if not on_tpu:
+        return "xla"
+    # Mosaic has no 64-bit path; float64 problems stay on the XLA scans.
+    for a in arrays:
+        if hasattr(a, "dtype") and jnp.dtype(a.dtype).itemsize == 8:
+            return "xla"
+    if len({s.rk4_substeps for s in fleet.specs}) != 1:
+        return "xla"
+    n_br = int(np.max(fleet.branch_index_array)) + 1 if fleet.n_agents else 1
+    S_pad = int(-(-S // _pad_unit(cfg.n_ls_iter)) * _pad_unit(cfg.n_ls_iter))
+    if not fits_vmem_batched(
+        N, K, fleet.nx_p, fleet.nu_p, S_pad, cfg.n_ls_iter, n_br
+    ):
+        return "xla"
+    return "pallas"

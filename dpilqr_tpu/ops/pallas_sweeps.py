@@ -77,12 +77,14 @@ def _pair_constants(cost: GameCost, n: int, dtype):
     """x-independent pair quantities, precomputed OUTSIDE the kernel.
 
     Returns ``(W (n, npairs), comp (npairs, 3), m_pair (npairs, 1))``:
-    signed incidence, active-component mask (min(n_pos_i, n_pos_j)) and the
-    pair agent-mask product.
+    signed incidence, active-component mask (min over the pair of the
+    EVALUATION position dims -- these kernels only evaluate the penalty,
+    so parity mode's ``n_pos_eval`` applies) and the pair agent-mask
+    product.
     """
     W = jnp.asarray(_signed_incidence(n, np.float64), dtype)
     Wa = jnp.abs(W)
-    n_pos = cost.n_pos.astype(dtype)
+    n_pos = cost.n_pos_eval.astype(dtype)
     nd_pair = 0.5 * (Wa.T @ n_pos - jnp.abs(W.T @ n_pos))
     comp = (
         jnp.arange(3, dtype=dtype)[None, :] < nd_pair[:, None]

@@ -91,10 +91,19 @@ def _solve_distributed(
     mids_s = jnp.asarray(fleet.branch_index_array)[batch.member_idx]
     enabled = ~ignore_mask
 
-    # 3. One vmapped solve for all subproblems.
-    res = _solve_subproblem_batch(
-        fleet, cfg, sub_cost, x0_s, U_s, mids_s, enabled
-    )
+    # 3. One batched solve for all subproblems: fused Pallas sweeps on TPU
+    #    (ops/pallas_batched.py), vmapped XLA scans otherwise.
+    if cfg.sweep_backend in ("pallas", "pallas-interpret"):
+        from ..ops.pallas_batched import solve_subproblems_batched
+
+        res = solve_subproblems_batched(
+            fleet, cfg, sub_cost, x0_s, U_s, mids_s, enabled,
+            interpret=cfg.sweep_backend == "pallas-interpret",
+        )
+    else:
+        res = _solve_subproblem_batch(
+            fleet, cfg, sub_cost, x0_s, U_s, mids_s, enabled
+        )
 
     # 4. Owner extraction + scatter (ignored agents stay zero, matching the
     #    reference's skip-and-leave-zeros, distributed.py:59-63).
@@ -171,6 +180,16 @@ def solve_distributed(
     radius = jnp.asarray(radius, dtype=X.dtype)
     if K is None:
         K = auto_subproblem_width(X, radius, cost, graph_n_d)
+    import dataclasses
+
+    from ..ops.pallas_batched import resolve_batched_backend
+
+    config = dataclasses.replace(
+        config,
+        sweep_backend=resolve_batched_backend(
+            config, fleet, U.shape[0], K, n, (X,)
+        ),
+    )
     return _solve_distributed(
         fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
     )

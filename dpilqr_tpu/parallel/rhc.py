@@ -87,7 +87,13 @@ def solve_rhc(
     n, nx_p, nu_p = fleet.n_agents, fleet.nx_p, fleet.nu_p
     dt = fleet.dt
 
-    x0 = np.asarray(x0, dtype=float).reshape(n, nx_p)
+    # Follow the caller's dtype (float32 on TPU -- the Pallas kernels have
+    # no 64-bit path; float64 for CPU parity runs).
+    x0 = np.asarray(x0)
+    if not np.issubdtype(x0.dtype, np.floating):
+        x0 = x0.astype(float)
+    dtype = x0.dtype
+    x0 = x0.reshape(n, nx_p)
     xf = np.asarray(cost.xf)
 
     def predicate(x, J):
@@ -107,18 +113,23 @@ def solve_rhc(
         step_count = resume_state.step
     else:
         # Small random warm start (reference distributed.py:152).
-        U = rng.uniform(size=(N, n, nu_p)) * 0.01
-        U = U * np.asarray(fleet.control_mask)[None]
+        U = (rng.uniform(size=(N, n, nu_p)) * 0.01).astype(dtype)
+        U = U * np.asarray(fleet.control_mask, dtype)[None]
         X = x0[None].copy()  # (1, n, nx) until the first solve
         xi = x0.copy()
         t = 0.0
-        X_full = np.zeros((0, n, nx_p))
-        U_full = np.zeros((0, n, nu_p))
+        X_full = np.zeros((0, n, nx_p), dtype)
+        U_full = np.zeros((0, n, nu_p), dtype)
         step_count = 0
 
     J = np.inf
     converged = True
     steps: list[RhcStepInfo] = []
+    # Subproblem width is cached across MPC steps (it changes rarely under
+    # power-of-2 bucketing): computed from the returned neighborhood sizes
+    # of the previous step instead of an extra graph build + host sync per
+    # step (round-1 weakness: parallel/distributed.py auto width).
+    K_cur = K
 
     while predicate(xi, J):
         t0 = perf_counter()
@@ -138,15 +149,34 @@ def solve_rhc(
             graph = None
             iters = [int(res.iters)]
         else:
-            dres = solve_distributed(
-                fleet, cost, jnp.asarray(X), jnp.asarray(U), radius,
-                ignore_mask=ignore_mask, K=K, config=config,
-            )
+            if t_kill is not None:
+                # Deadline-capped batched solve (reference forwards t_kill
+                # into every subproblem solve, distributed.py:170-176).
+                from .deadline import solve_distributed_steppable
+
+                dres = solve_distributed_steppable(
+                    fleet, cost, jnp.asarray(X), jnp.asarray(U), radius,
+                    ignore_mask=ignore_mask, K=K_cur, config=config,
+                    t_kill=t_kill,
+                )
+            else:
+                dres = solve_distributed(
+                    fleet, cost, jnp.asarray(X), jnp.asarray(U), radius,
+                    ignore_mask=ignore_mask, K=K_cur, config=config,
+                )
             X = np.asarray(dres.X)
             U = np.asarray(dres.U)
             J = float(dres.J)
             graph = graph_to_dict(dres.membership)
             iters = np.asarray(dres.iters).tolist()
+            if K is None:
+                # Grow immediately; shrink with hysteresis (each width
+                # change costs one compile, amortized by the cache).
+                k_need = int(np.asarray(dres.sizes).max())
+                k_need = 1 << (k_need - 1).bit_length() if k_need > 1 else 1
+                k_need = min(k_need, n)
+                if K_cur is None or k_need > K_cur or k_need <= K_cur // 2:
+                    K_cur = k_need
         solve_time = perf_counter() - t0
 
         # Advance the simulated system (reference distributed.py:178-181).
@@ -158,7 +188,9 @@ def solve_rhc(
         X = np.concatenate(
             [X[step_size:], np.tile(X[-1], (step_size, 1, 1))], axis=0
         )
-        U = np.concatenate([U[step_size:], np.zeros((step_size, n, nu_p))], axis=0)
+        U = np.concatenate(
+            [U[step_size:], np.zeros((step_size, n, nu_p), U.dtype)], axis=0
+        )
 
         dist_left = np.asarray(
             distance_to_goal(jnp.asarray(xi), jnp.asarray(xf), n_d)

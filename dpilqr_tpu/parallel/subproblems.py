@@ -79,6 +79,7 @@ def gather_cost(cost: GameCost, batch: SubproblemBatch, dtype) -> GameCost:
         agent_mask=batch.member_mask.astype(dtype) * cost.agent_mask[gi],
         prox_weight=jnp.broadcast_to(cost.prox_weight, (gi.shape[0],)),
         ref_weight=jnp.broadcast_to(cost.ref_weight, (gi.shape[0],)),
+        n_pos_eval=cost.n_pos_eval[gi],
     )
 
 

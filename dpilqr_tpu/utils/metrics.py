@@ -85,6 +85,15 @@ class SolveMetrics:
         return self
 
 
+def riccati_block_nnz(n_agents: int, nx: int, nu: int, N: int) -> int:
+    """Nonzero block ENTRIES touched by one Riccati backward sweep
+    (BASELINE.md north-star counter): per timestep the block backward pass
+    touches the n^2 (nx, nx) P-coupling blocks plus n (nx, nx) A-blocks and
+    n (nx, nu) B-blocks."""
+    n = n_agents
+    return N * (n * n * nx * nx + n * nx * nx + n * nx * nu)
+
+
 class JsonlWriter:
     """Append-only JSON-lines metrics sink."""
 

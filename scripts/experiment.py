@@ -127,17 +127,22 @@ class ExperimentRunner:
                 break
 
             t0 = perf_counter()
-            t_kill = N * DT  # reference experiment.py:141-142
+            t_kill = N * DT  # reference experiment.py:141-142,220-226
             if self.centralized:
-                res = dtl.ilqr_solve(
-                    self.fleet, self.cost, jnp.asarray(x), U0=jnp.asarray(U)
+                res = dtl.ilqr_solve_steppable(
+                    self.fleet, self.cost, jnp.asarray(x),
+                    U0=jnp.asarray(U), t_kill=t_kill,
                 )
                 X_plan, U_plan = np.asarray(res.X), np.asarray(res.U)
             else:
-                dres = dtl.solve_distributed(
+                from dpilqr_tpu.parallel.deadline import (
+                    solve_distributed_steppable,
+                )
+
+                dres = solve_distributed_steppable(
                     self.fleet, self.cost,
                     jnp.asarray(x)[None], jnp.asarray(U), RADIUS,
-                    ignore_mask=self.ignore_mask,
+                    ignore_mask=self.ignore_mask, t_kill=t_kill,
                 )
                 X_plan, U_plan = np.asarray(dres.X), np.asarray(dres.U)
             solve_t = perf_counter() - t0

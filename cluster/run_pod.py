@@ -34,6 +34,11 @@ def main():
     ap.add_argument("--num-hosts", type=int, default=None)
     ap.add_argument("--host-id", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument(
+        "--scaling", action="store_true",
+        help="measure parallel efficiency: time the same problem on a "
+        "1-device mesh vs the full mesh (BASELINE.md >= 80%% target)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -59,6 +64,10 @@ def main():
     n, N, dt = args.agents, args.horizon, 0.1
     dtype = jnp.float32
     fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, dt)
+
+    if args.scaling:
+        _scaling_run(args, fleet, devices, n, N)
+        return
 
     results = []
     for trial in range(args.trials):
@@ -110,6 +119,89 @@ def main():
                     "devices": len(devices),
                     "median_wall_s": float(np.median(walls)),
                     "median_hz": float(1.0 / np.median(walls)),
+                }
+            )
+        )
+
+
+def _scaling_run(args, fleet, devices, n, N):
+    """Strong-scaling measurement: same problem, 1-device vs D-device mesh.
+
+    Emits ``parallel_efficiency = t_1 / (ideal * t_D)`` plus a correctness
+    cross-check (both meshes must produce the same stitched-plan cost).
+    On a virtual CPU mesh (``--xla_force_host_platform_device_count``) the
+    devices share the host's physical cores, so the 1-device baseline is
+    pinned to ONE core and ``ideal = min(n_devices, n_cores)`` -- the mesh
+    validates the sharded program and per-core efficiency; chip-level
+    efficiency (BASELINE.md >= 80% target) needs real multi-chip ICI.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    import dpilqr_tpu as dtl
+
+    dtype = jnp.float32
+    rng = np.random.default_rng(0)
+    # Spread scenario + fixed K=8 neighborhoods: measures the sharded
+    # batch's scaling, not the (density-dependent) subproblem sizes.
+    x0, xf = dtl.random_setup(n, 4, rng=rng, energy=16.0 * n)
+    cost = dtl.make_game_cost(
+        jnp.asarray(xf, dtype),
+        jnp.asarray(np.tile(np.eye(4), (n, 1, 1)), dtype),
+        jnp.asarray(np.tile(np.eye(2), (n, 1, 1)), dtype),
+        jnp.asarray(np.tile(1e3 * np.eye(4), (n, 1, 1)), dtype),
+        radius=args.radius,
+    )
+    U0 = jnp.zeros((N, n, 2), dtype)
+    x0j = jnp.asarray(x0, dtype)[None]
+
+    cfg = dtl.SolverConfig(n_lqr_iter=8, tol=1e-6)
+
+    def timed(mesh):
+        res = dtl.solve_distributed_sharded(
+            fleet, cost, x0j, U0, args.radius, mesh=mesh, K=8, config=cfg
+        )
+        float(res.J)  # compile + hard sync
+        reps = 5
+        t0 = perf_counter()
+        for _ in range(reps):
+            res = dtl.solve_distributed_sharded(
+                fleet, cost, x0j, U0, args.radius, mesh=mesh, K=8, config=cfg
+            )
+        float(res.J)
+        return (perf_counter() - t0) / reps, float(res.J)
+
+    import os
+
+    cpu_mesh = devices[0].platform == "cpu"
+    all_cores = None
+    if cpu_mesh and hasattr(os, "sched_getaffinity"):
+        all_cores = os.sched_getaffinity(0)
+        os.sched_setaffinity(0, {min(all_cores)})
+    t1, J1 = timed(dtl.make_mesh(devices[:1]))
+    if all_cores is not None:
+        os.sched_setaffinity(0, all_cores)
+    tD, JD = timed(dtl.make_mesh(devices))
+    D = len(devices)
+    n_cores = len(all_cores) if all_cores is not None else D
+    ideal = min(D, n_cores) if cpu_mesh else D
+    eff = t1 / (ideal * tD)
+    assert abs(J1 - JD) <= 1e-3 * abs(J1), (J1, JD)
+    if jax.process_index() == 0:
+        print(
+            json.dumps(
+                {
+                    "summary": "strong scaling",
+                    "n_agents": n,
+                    "horizon": N,
+                    "devices": D,
+                    "cores": n_cores,
+                    "ideal_speedup": ideal,
+                    "t_1dev_s": round(t1, 4),
+                    "t_fullmesh_s": round(tD, 4),
+                    "speedup": round(t1 / tD, 3),
+                    "parallel_efficiency": round(eff, 3),
+                    "J_match": True,
                 }
             )
         )

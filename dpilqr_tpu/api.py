@@ -684,13 +684,18 @@ def solve_distributed(
     dt_ = pc() - t0
 
     graph = _parallel.graph_to_dict(res.membership, ids=ids)
+    # Per-subproblem wall-time attribution (reference distributed.py:65-77
+    # reports real per-subproblem times; the batch runs in lockstep, so a
+    # subproblem's share of the wall clock scales with the iterations it
+    # actually executed before converging/failing).
+    iters = np.asarray(res.iters, float)
+    max_it = max(float(iters.max()), 1.0)
     solve_info = {}
     for k, id_ in enumerate(ids):
         if ignore_mask is not None and ignore_mask[k]:
             solve_info[id_] = (0.0, [id_])
         else:
-            # Batched solve: wall time is shared across subproblems.
-            solve_info[id_] = (dt_, graph[id_])
+            solve_info[id_] = (dt_ * iters[k] / max_it, graph[id_])
     X_dec = np.asarray(res.X).reshape(N + 1, n * nx)
     U_dec = np.asarray(res.U).reshape(N, n * nu)
     if verbose:

@@ -50,6 +50,14 @@ class SolverConfig:
     # There is no flag for that behavior; this field documents the delta.
     return_accepted_cost: bool = True
 
+    # Failed-line-search policy.  "bail" stops iterating immediately -- the
+    # reference's actual behavior (its regularization-increase code at
+    # control.py:198-208 sits after a break and is dead).  "increase"
+    # implements that dead path: raise mu by the delta schedule and keep
+    # iterating, aborting only when mu exceeds ``mu_max`` (which is
+    # load-bearing only in this mode).
+    on_failed_ls: str = "bail"
+
     # Forward-sweep implementation: "xla" (lax.scan), "pallas" (fused VMEM
     # kernel, TPU only), or "auto" (pallas on TPU when the problem fits
     # VMEM).  Resolved by the solver entry points before tracing.

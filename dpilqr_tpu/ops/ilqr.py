@@ -294,6 +294,9 @@ def make_iteration_fn(
         cfg.sweep_backend in ("pallas", "pallas-interpret") and fleet is not None
     )
     interpret = cfg.sweep_backend == "pallas-interpret"
+    # Parallel-scan Riccati (ops/pscan.py): O(log N) sequential depth for
+    # long horizons; the line-search rollout stays the vmapped XLA scan.
+    use_pscan = cfg.sweep_backend == "pscan"
 
     def iterate(cost: GameCost, c: IlqrCarry) -> IlqrCarry:
         dtype = c.X.dtype
@@ -309,7 +312,12 @@ def make_iteration_fn(
                 fleet, cost, c.X, c.U, K, d, alphas, interpret=interpret
             )
         else:
-            K, d = _backward_pass(lin_fn, cost, c.X, c.U, c.mu)
+            if use_pscan:
+                from .pscan import backward_pass_pscan
+
+                K, d = backward_pass_pscan(lin_fn, cost, c.X, c.U, c.mu)
+            else:
+                K, d = _backward_pass(lin_fn, cost, c.X, c.U, c.mu)
 
             def _fwd(alpha):
                 return _forward_pass(step_fn, cost, c.X, c.U, K, d, alpha)
@@ -335,8 +343,19 @@ def make_iteration_fn(
         delta_dec = jnp.minimum(1.0, c.delta) / cfg.delta_0
         mu_dec = c.mu * delta_dec
         mu_dec = jnp.where(mu_dec <= cfg.mu_min, 0.0, mu_dec)
-        mu_new = jnp.where(accept, mu_dec, c.mu)
-        delta_new = jnp.where(accept, delta_dec, c.delta)
+        if cfg.on_failed_ls == "increase":
+            # The reference's (dead) regularization-increase path
+            # (control.py:198-208): raise mu, keep iterating, abort at
+            # mu_max.
+            delta_inc = jnp.maximum(1.0, c.delta) * cfg.delta_0
+            mu_inc = jnp.maximum(cfg.mu_min, c.mu * delta_inc)
+            mu_new = jnp.where(accept, mu_dec, mu_inc)
+            delta_new = jnp.where(accept, delta_dec, delta_inc)
+            failed = ~accept & (mu_inc >= cfg.mu_max)
+        else:
+            mu_new = jnp.where(accept, mu_dec, c.mu)
+            delta_new = jnp.where(accept, delta_dec, c.delta)
+            failed = ~accept
 
         return IlqrCarry(
             X=X_new,
@@ -346,7 +365,7 @@ def make_iteration_fn(
             delta=delta_new,
             i=c.i + 1,
             converged=converged,
-            failed=~accept,
+            failed=failed,
         )
 
     return iterate

@@ -929,8 +929,19 @@ def batched_iteration(
     delta_dec = jnp.minimum(1.0, c.delta) / cfg.delta_0
     mu_dec = c.mu * delta_dec
     mu_dec = jnp.where(mu_dec <= cfg.mu_min, 0.0, mu_dec)
-    mu = jnp.where(upd, mu_dec, c.mu)
-    delta = jnp.where(upd, delta_dec, c.delta)
+    if cfg.on_failed_ls == "increase":
+        # The reference's (dead) mu-increase path (control.py:198-208),
+        # per subproblem: keep iterating on failure, abort at mu_max.
+        delta_inc = jnp.maximum(1.0, c.delta) * cfg.delta_0
+        mu_inc = jnp.maximum(cfg.mu_min, c.mu * delta_inc)
+        mu = jnp.where(upd, mu_dec, jnp.where(c.active, mu_inc, c.mu))
+        delta = jnp.where(
+            upd, delta_dec, jnp.where(c.active, delta_inc, c.delta)
+        )
+        failed_now = failed_now & (mu_inc >= cfg.mu_max)
+    else:
+        mu = jnp.where(upd, mu_dec, c.mu)
+        delta = jnp.where(upd, delta_dec, c.delta)
 
     i = c.i + c.active.astype(jnp.int32)
     converged = c.converged | converged_now

@@ -35,6 +35,11 @@ def main():
     ap.add_argument("--host-id", type=int, default=None)
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument(
+        "--vmap-trials", action="store_true",
+        help="run all Monte-Carlo trials as ONE sharded batch axis over the "
+        "mesh (SURVEY 2.3 cluster parallelism) instead of a host loop",
+    )
+    ap.add_argument(
         "--scaling", action="store_true",
         help="measure parallel efficiency: time the same problem on a "
         "1-device mesh vs the full mesh (BASELINE.md >= 80%% target)",
@@ -67,6 +72,44 @@ def main():
 
     if args.scaling:
         _scaling_run(args, fleet, devices, n, N)
+        return
+
+    if args.vmap_trials:
+        costs, X0s, U0s = [], [], []
+        for trial in range(args.trials):
+            rng = np.random.default_rng(trial)
+            x0, xf = dtl.random_setup(n, 4, rng=rng, energy=16.0 * n)
+            costs.append(dtl.make_game_cost(
+                jnp.asarray(xf, dtype),
+                jnp.asarray(np.tile(np.eye(4), (n, 1, 1)), dtype),
+                jnp.asarray(np.tile(np.eye(2), (n, 1, 1)), dtype),
+                jnp.asarray(np.tile(1e3 * np.eye(4), (n, 1, 1)), dtype),
+                radius=args.radius,
+            ))
+            X0s.append(np.broadcast_to(x0[None].astype(np.float32), (2, n, 4)))
+            U0s.append(np.zeros((N, n, 2), np.float32))
+        cost_T = jax.tree.map(lambda *ls: jnp.stack(ls), *costs)
+        res = dtl.solve_trials_sharded(
+            fleet, cost_T, jnp.asarray(np.stack(X0s)),
+            jnp.asarray(np.stack(U0s)), args.radius, mesh=mesh, K=8,
+            config=dtl.SolverConfig(n_lqr_iter=8, tol=1e-6),
+        )
+        float(np.asarray(res.J).sum())  # compile + sync
+        t0 = perf_counter()
+        res = dtl.solve_trials_sharded(
+            fleet, cost_T, jnp.asarray(np.stack(X0s)),
+            jnp.asarray(np.stack(U0s)), args.radius, mesh=mesh, K=8,
+            config=dtl.SolverConfig(n_lqr_iter=8, tol=1e-6),
+        )
+        wall = perf_counter() - t0
+        if jax.process_index() == 0:
+            print(json.dumps({
+                "summary": "vmapped MC trials (sharded batch axis)",
+                "trials": args.trials, "n_agents": n, "devices": len(devices),
+                "wall_s": round(wall, 4),
+                "trials_per_s": round(args.trials / wall, 2),
+                "J": np.asarray(res.J).round(1).tolist(),
+            }))
         return
 
     results = []

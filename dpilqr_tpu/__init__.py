@@ -41,6 +41,7 @@ from .parallel import (
     solve_distributed,
     solve_distributed_sharded,
     solve_rhc,
+    solve_trials_sharded,
 )
 from .utils import (
     compute_energy,

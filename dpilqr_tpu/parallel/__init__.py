@@ -9,4 +9,4 @@ from .subproblems import (
 )
 from .distributed import DistributedResult, solve_distributed
 from .rhc import RhcResult, RhcStepInfo, selfish_warmstart, solve_rhc
-from .mesh import make_mesh, solve_distributed_sharded
+from .mesh import make_mesh, solve_distributed_sharded, solve_trials_sharded

@@ -133,3 +133,82 @@ def solve_distributed_sharded(
     return _solve_distributed_sharded(
         fleet, config, K, graph_n_d, mesh, cost, X, U, radius, ignore_mask
     )
+
+
+@partial(jax.jit, static_argnums=(0, 1, 2, 3, 4))
+def _solve_trials_sharded(
+    fleet: Fleet, cfg: SolverConfig, K: int, graph_n_d, mesh: Mesh,
+    cost_T: GameCost, X_T, U_T, radius, ignore_mask,
+):
+    shard = NamedSharding(mesh, P(SUB_AXIS))
+
+    def shard_trials(tree):
+        return jax.tree.map(
+            lambda a: jax.lax.with_sharding_constraint(a, shard), tree
+        )
+
+    cost_T = shard_trials(cost_T)
+    X_T = shard_trials(X_T)
+    U_T = shard_trials(U_T)
+
+    def one(cost, X, U):
+        dtype = X.dtype
+        membership = interaction_graph(
+            X, radius, n_pos=cost.n_pos, n_d=graph_n_d
+        )
+        batch = gather_subproblems(membership, K)
+        sub_cost = gather_cost(cost, batch, dtype)
+        x0_s = gather_states(X[0], batch)
+        U_s = gather_controls(U, batch)
+        mids_s = jnp.asarray(fleet.branch_index_array)[batch.member_idx]
+        res = _solve_subproblem_batch(
+            fleet, cfg, sub_cost, x0_s, U_s, mids_s, ~ignore_mask
+        )
+        X_dec, U_dec = extract_owner(batch, res.X, res.U)
+        keep = (~ignore_mask).astype(dtype)
+        X_dec = X_dec * keep[None, :, None]
+        U_dec = U_dec * keep[None, :, None]
+        _, J_full = _rollout_fn(fleet.step, cost, X[0], U_dec)
+        return DistributedResult(
+            X=X_dec, U=U_dec, J=J_full, membership=membership,
+            iters=res.iters, converged=res.converged, sizes=batch.sizes,
+        )
+
+    return jax.vmap(one)(cost_T, X_T, U_T)
+
+
+def solve_trials_sharded(
+    fleet: Fleet,
+    cost_T: GameCost,
+    X_T,
+    U_T,
+    radius,
+    mesh: Mesh,
+    K: int,
+    ignore_mask=None,
+    graph_n_d: int | None = None,
+    config: SolverConfig = DEFAULT_CONFIG,
+) -> DistributedResult:
+    """Monte-Carlo trials as a SHARDED BATCH AXIS (SURVEY 2.3: the
+    reference's SLURM job runs trials as a host loop on one 16-core node,
+    cluster/sim.sbatch; here T independent trials vmap into one device
+    program with the trial axis laid out over the mesh).
+
+    ``cost_T``: GameCost with a leading trial axis on every leaf;
+    ``X_T (T, Tw, n, nx_p)`` previous trajectories; ``U_T (T, N, n, nu_p)``.
+    Uses the vmappable XLA solver backend (the fused Pallas kernels assume
+    an unbatched program; trials keep them busy via the subproblem axis
+    instead).  Returns a DistributedResult with a leading trial axis.
+    """
+    import dataclasses
+
+    cfg = dataclasses.replace(config, sweep_backend="xla")
+    X_T = jnp.asarray(X_T)
+    U_T = jnp.asarray(U_T, dtype=X_T.dtype)
+    n = fleet.n_agents
+    if ignore_mask is None:
+        ignore_mask = jnp.zeros((n,), bool)
+    return _solve_trials_sharded(
+        fleet, cfg, K, graph_n_d, mesh, cost_T, X_T, U_T,
+        jnp.asarray(radius, X_T.dtype), jnp.asarray(ignore_mask, bool),
+    )

@@ -55,3 +55,35 @@ def test_sharded_output_layout():
     )
     # Per-subproblem outputs are sharded over the mesh.
     assert len(res.iters.sharding.device_set) == 8
+
+
+def test_trials_sharded_matches_per_trial():
+    """Monte-Carlo trials as a sharded batch axis (SURVEY 2.3 cluster
+    parallelism): each trial's result must equal its own unsharded solve."""
+    n, N, T = 6, 12, 8
+    fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, 0.1)
+    mesh = dtl.make_mesh(cpu_devices[:8])
+    cfg = dtl.SolverConfig(n_lqr_iter=5, sweep_backend="xla")
+
+    costs, X0s, U0s = [], [], []
+    for t in range(T):
+        _, cost, x0, _ = _scenario(n, seed=t)
+        costs.append(cost)
+        X0s.append(np.broadcast_to(x0[None], (2, n, 4)))
+        U0s.append(np.zeros((N, n, 2)))
+    cost_T = jax.tree.map(lambda *ls: jnp.stack(ls), *costs)
+    X_T = jnp.asarray(np.stack(X0s))
+    U_T = jnp.asarray(np.stack(U0s))
+
+    res = dtl.solve_trials_sharded(
+        fleet, cost_T, X_T, U_T, 0.5, mesh=mesh, K=4, config=cfg
+    )
+    assert res.J.shape == (T,)
+    for t in (0, 3, 7):
+        ref = dtl.solve_distributed(
+            fleet, costs[t], X_T[t], U_T[t], 0.5, K=4, config=cfg
+        )
+        assert np.isclose(float(res.J[t]), float(ref.J), rtol=1e-8)
+        assert np.allclose(
+            np.asarray(res.X[t]), np.asarray(ref.X), atol=1e-8
+        )

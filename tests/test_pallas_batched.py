@@ -136,6 +136,21 @@ class TestOnTpuParity:
         same = np.asarray(rx.iters) == np.asarray(rp.iters)
         assert same.mean() >= 0.5, (rx.iters, rp.iters)
 
+    def test_heterogeneous_batched(self):
+        # Mixed quad/human fleet: exercises the compiled branch-mask
+        # dispatch (branch_row) inside the forward kernel on real hardware.
+        dev = _tpu_device()
+        models = [dtl.QUAD_6D, dtl.QUAD_6D, dtl.HUMAN_LIN_6D, dtl.QUAD_6D]
+        fleet, cost, X0, U0, radius = _problem(
+            4, 8, jnp.float32, models=models
+        )
+        put = lambda t: jax.tree.map(lambda a: jax.device_put(a, dev), t)
+        cost, X0, U0, radius = put(cost), put(X0), put(U0), put(radius)
+        rx = _run(fleet, cost, X0, U0, radius, 4, "xla", n_iter=5)
+        rp = _run(fleet, cost, X0, U0, radius, 4, "pallas", n_iter=5)
+        assert np.isfinite(float(rp.J))
+        assert float(rp.J) <= float(rx.J) * 1.05, (float(rp.J), float(rx.J))
+
     def test_centralized_sweeps(self):
         # Full-solve parity of the round-1 centralized Pallas kernels.
         dev = _tpu_device()

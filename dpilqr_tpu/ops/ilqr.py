@@ -276,7 +276,10 @@ def resolve_sweep_backend(cfg: SolverConfig, fleet, N: int, arrays=()) -> str:
     if not fits_vmem(
         N, fleet.n_agents, fleet.nx_p, fleet.nu_p, n_alpha=cfg.n_ls_iter
     ):
-        return "xla"
+        # Long horizons overflow the fused kernels' VMEM working set; the
+        # parallel-scan Riccati beats the sequential XLA sweep on TPU from
+        # N~50 up (2.5x at N=400; scripts/bench_pscan.py), so prefer it.
+        return "pscan" if N >= 100 else "xla"
     return "pallas"
 
 

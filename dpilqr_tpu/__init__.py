@@ -44,6 +44,7 @@ from .parallel import (
     solve_trials_sharded,
 )
 from .utils import (
+    Rate,
     compute_energy,
     distance_to_goal,
     face_goal,

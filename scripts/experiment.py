@@ -87,7 +87,8 @@ class ExperimentRunner:
     """MPC loop (reference experiment.py:114-308)."""
 
     def __init__(self, fleet, cost, vehicles: VehicleInterface, xf,
-                 centralized=False, ignore_mask=None, outdir="logs"):
+                 centralized=False, ignore_mask=None, outdir="logs",
+                 rate_hz=None):
         self.fleet = fleet
         self.cost = cost
         self.vehicles = vehicles
@@ -96,6 +97,10 @@ class ExperimentRunner:
         self.ignore_mask = ignore_mask
         self.outdir = Path(outdir)
         self.outdir.mkdir(exist_ok=True)
+        # Real-time pacing of the actuation loop (the reference's
+        # sleepForRate(GOTO_RATE), experiment.py:260).  None = free-running
+        # (simulation / CI).
+        self.rate = dtl.Rate(rate_hz) if rate_hz else None
         atexit.register(self.vehicles.go_home)
 
     def _adapt_horizon(self, x):
@@ -147,6 +152,8 @@ class ExperimentRunner:
                 X_plan, U_plan = np.asarray(dres.X), np.asarray(dres.U)
             solve_t = perf_counter() - t0
 
+            if self.rate is not None:
+                self.rate.sleep()
             self.vehicles.actuate(U_plan)
             X_hist.append(self.vehicles.measure())
             U_hist.append(U_plan[0])
@@ -180,6 +187,11 @@ class ExperimentRunner:
         )
         if verbose:
             print(f"saved {out}")
+            if self.rate is not None:
+                print(
+                    f"rate: {self.rate.hz:.1f} Hz, "
+                    f"{self.rate.missed}/{self.rate.ticks} deadlines missed"
+                )
         return np.stack(X_hist), t_hist
 
 
@@ -189,6 +201,10 @@ def main():
     ap.add_argument("--cpu", action="store_true")
     ap.add_argument("--steps", type=int, default=200)
     ap.add_argument("--noise", type=float, default=0.005)
+    ap.add_argument(
+        "--rate", type=float, default=None,
+        help="pace the actuation loop at this Hz (reference sleepForRate)",
+    )
     args = ap.parse_args()
     if args.cpu:
         import jax
@@ -228,6 +244,7 @@ def main():
     vehicles = SimulatedVehicles(fleet, x0, noise=args.noise)
     runner = ExperimentRunner(
         fleet, cost, vehicles, xf, centralized=args.centralized,
+        rate_hz=args.rate,
     )
     X, times = runner.run(max_steps=args.steps)
     print(

@@ -132,3 +132,30 @@ def test_csv_schema_parity(tmp_path):
         "ids,times,subgraphs,dist_left"
     )
     assert lines[1].startswith('"UnicycleDynamics4D",3,0,True,False,')
+
+
+def test_rate_paces_and_counts_misses():
+    """Drift-free rate pacing (reference timer_sleep.py / sleepForRate):
+    absolute deadlines, overruns counted, no catch-up bursting."""
+    import time
+
+    r = dtl.Rate(100.0)  # 10 ms period
+    t0 = time.monotonic()
+    for _ in range(5):
+        r.sleep()
+    elapsed = time.monotonic() - t0
+    # 5 ticks at 10 ms, first returns immediately: ~40 ms lower bound.
+    assert elapsed >= 0.035
+    assert r.ticks == 5 and r.missed == 0
+
+    # A slow iteration (3 periods) registers exactly one miss and the next
+    # deadline lands in the future (no burst of immediate returns).
+    time.sleep(0.03)
+    slack = r.sleep()
+    assert slack < 0 and r.missed == 1
+    assert r.remaining() > 0
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        dtl.Rate(0.0)

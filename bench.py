@@ -13,8 +13,8 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
   dense numpy transcription of the reference solving the same subproblems
   SEQUENTIALLY (its distributed.py:56-77 path): per-iteration oracle time
   on one K-slot subproblem x the total subproblem iterations executed.
-- extra: 50-agent distributed and 10-agent centralized wall-clock (the
-  round-1 headline metric, kept comparable), replanning Hz, and the
+- extra: 50- and 250-agent distributed and 10-agent centralized wall-clock
+  (the round-1 headline metric, kept comparable), replanning Hz, and the
   Riccati block-nnz/s north-star counter.
 """
 
@@ -68,10 +68,9 @@ def main():
         U0 = jnp.zeros((N, n, 2), dtype)
         return fleet, cost, X0, U0
 
-    def time_solve(fn):
+    def time_solve(fn, reps=20):
         out = fn()  # warm-up / compile
         float(np.asarray(out.J).sum())  # hard host barrier (tunnel-safe)
-        reps = 20
         t0 = time.perf_counter()
         for _ in range(reps):
             out = fn()
@@ -84,7 +83,7 @@ def main():
 
     results = {}
     total_iters = {}
-    for n in (50, 100):
+    for n in (50, 100, 250):
         fleet, cost, X0, U0 = build(n)
         rad = jnp.asarray(radius, dtype)
         ign = jnp.zeros((n,), bool)
@@ -99,7 +98,7 @@ def main():
                 fleet, cfg_n, K, None, cost, X0, U0, rad, ign
             )
 
-        ms, res = time_solve(solve)
+        ms, res = time_solve(solve, reps=20 if n <= 100 else 10)
         results[n] = ms
         total_iters[n] = int(np.asarray(res.iters).sum())
 
@@ -164,6 +163,8 @@ def main():
                     "ms_50_distributed": round(results[50], 3),
                     "hz_50_distributed": round(1000.0 / results[50], 2),
                     "ms_10_centralized": round(ms10, 3),
+                    "ms_250_distributed": round(results[250], 3),
+                    "hz_250_distributed": round(1000.0 / results[250], 2),
                     "subproblem_iters_100": total_iters[100],
                     "riccati_block_nnz_per_s": float(f"{block_nnz_per_s:.3e}"),
                 },

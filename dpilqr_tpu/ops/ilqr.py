@@ -98,6 +98,29 @@ def rollout(fleet: Fleet, cost: GameCost, x0, U):
     return _rollout_fn(fleet.step, cost, x0, U)
 
 
+def _rollout_batched_cost(step_fn, cost: GameCost, x0, U):
+    """Rollout with the cost evaluated time-batched after the state scan.
+
+    Same math as ``_rollout_fn`` (reference control.py:80-93) but only the
+    dynamics stay in the sequential scan; the stage costs -- the expensive
+    part at fleet scale (O(n^2) proximity pairs per step) -- evaluate as one
+    vmap over the horizon.  Summation order differs from the sequential
+    accumulation by a float rounding (~1 ulp per step), so this variant is
+    used where J is a *reported* quantity (the stitched-plan joint cost,
+    reference distributed.py:99-103), not where it feeds accept decisions.
+    """
+
+    def body(x, u_t):
+        x_next = step_fn(x, u_t)
+        return x_next, x_next
+
+    x_last, X_rest = jax.lax.scan(body, x0, U)
+    X = jnp.concatenate([x0[None], X_rest], axis=0)
+    J = jnp.sum(jax.vmap(lambda x, u: stage_cost(cost, x, u))(X[:-1], U))
+    J = J + terminal_cost(cost, x_last)
+    return X, J
+
+
 def _forward_pass(step_fn, cost: GameCost, X, U, K, d, alpha):
     """Closed-loop rollout ``du = K dx + alpha d`` (reference control.py:95-114)."""
     n = X.shape[1]

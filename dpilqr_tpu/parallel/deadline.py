@@ -26,7 +26,12 @@ import jax.numpy as jnp
 from ..config import DEFAULT_CONFIG, SolverConfig
 from ..models.fleet import Fleet
 from ..ops.costs import GameCost
-from ..ops.ilqr import IlqrCarry, make_iteration_fn, _rollout_fn
+from ..ops.ilqr import (
+    IlqrCarry,
+    make_iteration_fn,
+    _rollout_batched_cost,
+    _rollout_fn,
+)
 from ..ops.pallas_batched import (
     _BatchCarry,
     batched_iteration,
@@ -73,7 +78,7 @@ def _finish(fleet: Fleet, cost: GameCost, membership, batch,
     keep = (~ignore_mask).astype(dtype)
     X_dec = X_dec * keep[None, :, None]
     U_dec = U_dec * keep[None, :, None]
-    _, J_full = _rollout_fn(fleet.step, cost, x0, U_dec)
+    _, J_full = _rollout_batched_cost(fleet.step, cost, x0, U_dec)
     return DistributedResult(
         X=X_dec,
         U=U_dec,

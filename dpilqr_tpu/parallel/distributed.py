@@ -22,7 +22,7 @@ import jax.numpy as jnp
 from ..config import DEFAULT_CONFIG, SolverConfig
 from ..models.fleet import Fleet
 from ..ops.costs import GameCost
-from ..ops.ilqr import SolveResult, solve_core, _rollout_fn
+from ..ops.ilqr import SolveResult, solve_core, _rollout_batched_cost
 from .graph import interaction_graph
 from .subproblems import (
     SubproblemBatch,
@@ -113,7 +113,7 @@ def _solve_distributed(
     U_dec = U_dec * keep[None, :, None]
 
     # 5. Joint cost of the stitched plan (distributed.py:99-103).
-    _, J_full = _rollout_fn(fleet.step, cost, X[0], U_dec)
+    _, J_full = _rollout_batched_cost(fleet.step, cost, X[0], U_dec)
 
     return DistributedResult(
         X=X_dec,

@@ -28,6 +28,7 @@ from .utils.geometry import pairwise_distances as _pairwise_block
 
 __all__ = [
     "DynamicalModel",
+    "SymbolicModel",
     "MultiDynamicalModel",
     "DoubleIntDynamics4D",
     "DoubleIntDynamics6D",
@@ -58,6 +59,21 @@ __all__ = [
     "compute_pairwise_distance",
     "compute_pairwise_distance_nd",
     "_reset_ids",
+    "quadraticize_distance",
+    "quadraticize_finite_difference",
+    "linearize_finite_difference",
+    "Model",
+    "f",
+    "integrate",
+    "linearize",
+    "set_bounds",
+    "plot_solve",
+    "plot_interaction_graph",
+    "plot_pairwise_distances",
+    "make_trajectory_gif",
+    "eyeball_scenario",
+    "repopath",
+    "π",
 ]
 
 
@@ -159,6 +175,102 @@ class HumanDynamicsLin6D(DynamicalModel):
 class BikeDynamics5D(DynamicalModel):
     def __init__(self, dt, id=None):
         super().__init__(_specs.BIKE_5D, dt, id)
+
+
+class SymbolicModel(DynamicalModel):
+    """User-extensibility mechanism for new dynamics models (reference
+    dynamics.py:95-114): subclass, call ``super().__init__(n_x, n_u, dt)``,
+    then hand the sympy state/control symbols and vector field to
+    ``self._build(x, u, x_dot)``.  That derives the Jacobians symbolically
+    (like the reference's BikeDynamics5D, dynamics.py:254-277), sets the
+    reference-compatible ``_f``/``A_num``/``B_num`` numpy lambdas, AND
+    lambdifies the vector field into a JAX-traceable ``ModelSpec`` so the
+    custom model runs through the whole TPU core (Fleet dispatch, batched
+    solves, distributed decomposition) like any built-in model.
+
+    Object semantics match the reference: ``__call__`` integrates with
+    single-substep RK4 over ``dt`` (dynamics.py:70-74), ``linearize``
+    returns the Euler-discretized Jacobians ``(I + dt*A_c, dt*B_c)``
+    (dynamics.py:112-114).
+
+    A subclass that instead assigns ``_f``/``A_num``/``B_num`` directly (the
+    verbatim reference pattern) still works at the object level (f,
+    linearize, __call__, single-model solves via finite differencing is NOT
+    implied -- only _build wires the TPU path).
+    """
+
+    # Custom model ids live far above the built-in registry (specs.py ids
+    # 0-8) so Fleet's unique-spec dedup never conflates them.
+    _next_custom_id = 1000
+
+    def __init__(self, n_x, n_u, dt, id=None, n_pos: int = 2):
+        if id is None:
+            id = DynamicalModel._id
+            DynamicalModel._id += 1
+        self.n_x = n_x
+        self.n_u = n_u
+        self.dt = dt
+        self.id = id
+        self.n_pos = n_pos
+        self.spec = None
+        self._fleet = None
+
+    def _build(self, x_sym, u_sym, x_dot_sym):
+        """Derive Jacobians + lambdify (numpy for the object surface, JAX
+        for the array core) from sympy ``x``, ``u``, ``x_dot`` matrices."""
+        import sympy as sym
+        import jax.numpy as _jnp
+
+        A = x_dot_sym.jacobian(x_sym)
+        B = x_dot_sym.jacobian(u_sym)
+        # Reference-compatible numpy lambdas (dynamics.py:273-277).
+        self._f = sym.lambdify((x_sym, u_sym), sym.Array(x_dot_sym)[:, 0])
+        self.A_num = sym.lambdify((x_sym, u_sym), A)
+        self.B_num = sym.lambdify((x_sym, u_sym), B)
+        # JAX-traceable vector field for the TPU core (flat expression list;
+        # sympy's code printer cannot print NDimArray for arbitrary modules).
+        fj = sym.lambdify((x_sym, u_sym), list(x_dot_sym), modules=_jnp)
+        n_x = self.n_x
+
+        def f_jax(x, u):
+            parts = [jnp.asarray(p, dtype=x.dtype) for p in fj(x, u)]
+            return jnp.stack(jnp.broadcast_arrays(*parts)).reshape(n_x)
+
+        mid = SymbolicModel._next_custom_id
+        SymbolicModel._next_custom_id += 1
+        self.spec = _specs.ModelSpec(
+            name=type(self).__name__,
+            model_id=mid,
+            n_x=self.n_x,
+            n_u=self.n_u,
+            f=f_jax,
+            rk4_substeps=1,  # reference SymbolicModel integrates dh=dt
+            n_pos=self.n_pos,
+        )
+        self._fleet = _fleet_mod.Fleet((self.spec,), self.dt)
+
+    def f(self, x, u):
+        return np.asarray(self._f(np.asarray(x, float), np.asarray(u, float)))
+
+    def linearize(self, x, u):
+        """Euler-discretized symbolic Jacobians (reference dynamics.py:112-114)."""
+        x = np.asarray(x, float)
+        u = np.asarray(u, float)
+        return (
+            np.eye(x.size) + self.dt * np.asarray(self.A_num(x, u)),
+            self.dt * np.asarray(self.B_num(x, u)),
+        )
+
+    def __call__(self, x, u):
+        """Single-substep RK4 over dt (reference dynamics.py:70-74,18-38)."""
+        x = np.asarray(x, float)
+        u = np.asarray(u, float)
+        h = self.dt
+        k0 = self.f(x, u)
+        k1 = self.f(x + 0.5 * h * k0, u)
+        k2 = self.f(x + 0.5 * h * k1, u)
+        k3 = self.f(x + h * k2, u)
+        return x + h * (k0 + 2 * k1 + 2 * k2 + k3) / 6.0
 
 
 class MultiDynamicalModel(DynamicalModel):
@@ -285,17 +397,23 @@ class ReferenceCost(Cost):
 class ProximityCost(Cost):
     """Pairwise penalty ``sum min(0, d - r)^2`` (reference cost.py:110-171).
 
-    ``eval_n_d``: reference-parity mode -- evaluate the penalty with this
-    many position dimensions (the reference defaults to 2-D evaluation for
-    uniform-dimension fleets, cost.py:122-123) while quadraticizing with
-    ``min(n_dims)`` (cost.py:135-171).  None (default) keeps evaluation and
-    derivatives consistent at ``min(n_dims)``.
+    ``eval_n_d``: position dimensionality used to EVALUATE the penalty.  The
+    default "reference" reproduces the reference exactly: uniform-dimension
+    fleets evaluate with 2-D distances -- even all-3-D fleets -- via
+    ``compute_pairwise_distance``'s ``n_d=2`` default (cost.py:121-123,
+    util.py:48), while mixed fleets evaluate per-pair ``min(n_dims)``
+    (cost.py:125-130).  Quadraticization always uses per-pair
+    ``min(n_dims)`` (cost.py:135-171).  Pass ``eval_n_d=None`` for the
+    self-consistent mode (evaluation matches the derivatives), or an int to
+    force a specific evaluation dimensionality.
     """
 
-    def __init__(self, x_dims, radius, n_dims=None, eval_n_d=None):
+    def __init__(self, x_dims, radius, n_dims=None, eval_n_d="reference"):
         self.x_dims = list(x_dims)
         self.radius = radius
         self.n_dims = list(n_dims) if n_dims is not None else [2] * len(x_dims)
+        if eval_n_d == "reference":
+            eval_n_d = 2 if len(set(self.n_dims)) == 1 else None
         self.eval_n_d = eval_n_d
         self.n_agents = len(x_dims)
 
@@ -846,3 +964,188 @@ def _reset_ids():
     """Reset facade id counters (reference problem.py:113-116)."""
     DynamicalModel._reset_ids()
     ReferenceCost._reset_ids()
+
+
+π = np.pi
+
+
+def repopath():
+    """Repository root (reference util.py:17 exposes the analogous path)."""
+    import pathlib
+
+    return pathlib.Path(__file__).resolve().parent.parent
+
+
+# ---------------------------------------------------- derivative-check parity
+def quadraticize_distance(point_a: Point, point_b: Point, radius, n_d):
+    """Gradient/Hessian of ``min(0, d - r)^2`` wrt ``point_a`` in ``n_d``
+    dims (reference cost.py:269-315; same closed form the array core uses:
+    ``H = (2 - 2r/d) I + (2r/d^3) dd^T`` inside the radius, zero outside)."""
+    assert point_a.ndim == point_b.ndim
+    delta = np.array(
+        [point_a.x - point_b.x, point_a.y - point_b.y, point_a.z - point_b.z]
+    )
+    d = np.linalg.norm(delta)
+    if d > radius:
+        return np.zeros(n_d), np.zeros((n_d, n_d))
+    L_x = 2.0 * (d - radius) / d * delta
+    L_xx = (2.0 - 2.0 * radius / d) * np.eye(3) + (
+        2.0 * radius / d**3
+    ) * np.outer(delta, delta)
+    return L_x[:n_d], L_xx[:n_d, :n_d]
+
+
+def quadraticize_finite_difference(cost, x, u, terminal=False, jac_eps=None):
+    """Finite-difference quadraticization (reference cost.py:318-349);
+    kept as the model-agnostic derivative check for custom Cost objects."""
+    from scipy.optimize import approx_fprime
+
+    x = np.asarray(x, float).flatten()
+    u = np.asarray(u, float).flatten()
+    if not jac_eps:
+        jac_eps = np.sqrt(np.finfo(float).eps)
+    hess_eps = np.sqrt(jac_eps)
+    n_x, n_u = x.shape[0], u.shape[0]
+
+    def Lx(x_, u_):
+        return approx_fprime(x_, lambda xx: cost(xx, u_, terminal), jac_eps)
+
+    def Lu(x_, u_):
+        return approx_fprime(u_, lambda uu: cost(x_, uu, terminal), jac_eps)
+
+    L_xx = np.vstack(
+        [approx_fprime(x, lambda xx: Lx(xx, u)[i], hess_eps) for i in range(n_x)]
+    )
+    L_uu = np.vstack(
+        [approx_fprime(u, lambda uu: Lu(x, uu)[i], hess_eps) for i in range(n_u)]
+    )
+    L_ux = np.vstack(
+        [approx_fprime(x, lambda xx: Lu(xx, u)[i], hess_eps) for i in range(n_u)]
+    )
+    return Lx(x, u), Lu(x, u), L_xx, L_uu, L_ux
+
+
+def linearize_finite_difference(f_, x, u):
+    """Finite-difference dynamics linearization (reference dynamics.py:281-290)."""
+    from scipy.optimize import approx_fprime
+
+    x = np.asarray(x, float).flatten()
+    u = np.asarray(u, float).flatten()
+    jac_eps = np.sqrt(np.finfo(float).eps)
+    A = np.vstack(
+        [approx_fprime(x, lambda xx: f_(xx, u)[i], jac_eps) for i in range(x.size)]
+    )
+    B = np.vstack(
+        [approx_fprime(u, lambda uu: f_(x, uu)[i], jac_eps) for i in range(x.size)]
+    )
+    return A, B
+
+
+# ---------------------------------------------------- flat kernel surface
+import enum as _enum
+
+
+class Model(_enum.IntEnum):
+    """Native-kernel model enum (reference bbdynamicswrap.pyx:8-16; values
+    match the ModelSpec registry ids, models/specs.py:166-173)."""
+
+    DoubleInt4D = 0
+    DoubleInt6D = 1
+    Car3D = 2
+    Unicycle4D = 3
+    Human6D = 4
+    HumanLin6D = 5
+    Quad6D = 6
+    Quad12D = 7
+
+
+def f(x, u, model):
+    """Continuous dynamics of one model (reference bbdynamicswrap.pyx:61-92)."""
+    spec = _specs.MODEL_REGISTRY[int(model)]
+    x = np.asarray(x, float).flatten()[: spec.n_x]
+    u = np.asarray(u, float).flatten()[: spec.n_u]
+    from .native import host as _host
+
+    if _host.available():
+        xp = np.zeros((1, spec.n_x))
+        up = np.zeros((1, spec.n_u))
+        xp[0], up[0] = x, u
+        return _host.f([spec.model_id], xp, up)[0]
+    return np.asarray(spec.f(jnp.asarray(x), jnp.asarray(u)))
+
+
+def integrate(x, u, dt, model):
+    """RK4 step of one model (reference bbdynamicswrap.pyx:93-124; the C
+    kernel uses each model's reference substep count)."""
+    spec = _specs.MODEL_REGISTRY[int(model)]
+    x = np.asarray(x, float).flatten()[: spec.n_x]
+    u = np.asarray(u, float).flatten()[: spec.n_u]
+    from .native import host as _host
+
+    if _host.available():
+        return _host.step([spec.model_id], x[None], u[None], dt)[0]
+    fleet = _fleet_mod.Fleet((spec,), dt)
+    return np.asarray(fleet.step(jnp.asarray(x[None]), jnp.asarray(u[None])))[0]
+
+
+def linearize(x, u, dt, model):
+    """Euler-discretized Jacobians of one model
+    (reference bbdynamicswrap.pyx:125-164)."""
+    spec = _specs.MODEL_REGISTRY[int(model)]
+    x = np.asarray(x, float).flatten()[: spec.n_x]
+    u = np.asarray(u, float).flatten()[: spec.n_u]
+    from .native import host as _host
+
+    if _host.available():
+        A, B = _host.linearize([spec.model_id], x[None], u[None], dt)
+        return A[0], B[0]
+    fleet = _fleet_mod.Fleet((spec,), dt)
+    A, B = fleet.linearize(jnp.asarray(x[None]), jnp.asarray(u[None]))
+    return np.asarray(A[0]), np.asarray(B[0])
+
+
+# ---------------------------------------------------- graphics (flat layout)
+from .utils import viz as _viz
+
+set_bounds = _viz.set_bounds
+plot_interaction_graph = _viz.plot_interaction_graph
+
+
+def _to_block(X, x_dims):
+    X = np.atleast_2d(np.asarray(X, float))
+    n = len(x_dims)
+    return X.reshape(X.shape[0], n, x_dims[0])
+
+
+def plot_solve(X, J, x_goal, x_dims=None, color_agents=False, n_d=2, ax=None):
+    """Trajectory plot on flat arrays (reference graphics.py:93-143)."""
+    if x_dims is None:
+        x_dims = [np.atleast_2d(np.asarray(X)).shape[1]]
+    Xb = _to_block(X, x_dims)
+    xfb = np.asarray(x_goal, float).reshape(len(x_dims), x_dims[0])
+    return _viz.plot_solve(
+        Xb, J, xfb, color_agents=color_agents, n_d=n_d, ax=ax
+    )
+
+
+def plot_pairwise_distances(X, x_dims, n_dims, radius):
+    """Pairwise-distance plot on flat arrays (reference graphics.py:146-156)."""
+    return _viz.plot_pairwise_distances(
+        _to_block(X, x_dims), radius, n_pos=np.asarray(n_dims)
+    )
+
+
+def make_trajectory_gif(gifname, X, xf, x_dims, radius):
+    """Animated trajectory GIF on flat arrays (reference graphics.py:220-236)."""
+    xfb = np.asarray(xf, float).reshape(len(x_dims), x_dims[0])
+    return _viz.make_trajectory_gif(
+        str(gifname), _to_block(X, x_dims), xfb, radius
+    )
+
+
+def eyeball_scenario(x0, xf, n_agents, n_states):
+    """Start->goal arrows on flat arrays (reference graphics.py:239-252)."""
+    return _viz.eyeball_scenario(
+        np.asarray(x0, float).reshape(n_agents, n_states),
+        np.asarray(xf, float).reshape(n_agents, n_states),
+    )

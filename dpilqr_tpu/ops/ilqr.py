@@ -106,8 +106,12 @@ def _rollout_batched_cost(step_fn, cost: GameCost, x0, U):
     part at fleet scale (O(n^2) proximity pairs per step) -- evaluate as one
     vmap over the horizon.  Summation order differs from the sequential
     accumulation by a float rounding (~1 ulp per step), so this variant is
-    used where J is a *reported* quantity (the stitched-plan joint cost,
-    reference distributed.py:99-103), not where it feeds accept decisions.
+    kept away from the solver's per-iteration accept decisions.  It computes
+    the stitched-plan joint cost (reference distributed.py:99-103), which
+    besides being reported also feeds the RHC loop's coarse ``J_converge``
+    stopping threshold (parallel/rhc.py) -- a user-set, order-of-magnitude
+    predicate where the ~1e-6 relative drift is immaterial; use
+    ``_rollout_fn`` instead wherever bitwise-stable J is required.
     """
 
     def body(x, u_t):

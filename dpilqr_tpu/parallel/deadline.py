@@ -87,6 +87,7 @@ def _finish(fleet: Fleet, cost: GameCost, membership, batch,
         iters=iters,
         converged=converged,
         sizes=batch.sizes,
+        truncated=jnp.any(batch.sizes > batch.member_idx.shape[1]),
     )
 
 

@@ -42,6 +42,10 @@ class DistributedResult(NamedTuple):
     iters: jnp.ndarray  # (n,) per-subproblem iLQR iterations
     converged: jnp.ndarray  # (n,) per-subproblem convergence flags
     sizes: jnp.ndarray  # (n,) neighborhood sizes
+    # () bool: any neighborhood exceeded the static slot count K, so coupling
+    # partners were dropped from some subproblem.  The reference never
+    # truncates (problem.py:36-47); with auto-K this is always False.
+    truncated: jnp.ndarray
 
 
 def _solve_subproblem_batch(
@@ -123,6 +127,7 @@ def _solve_distributed(
         iters=res.iters,
         converged=res.converged,
         sizes=batch.sizes,
+        truncated=jnp.any(batch.sizes > K),
     )
 
 
@@ -149,6 +154,8 @@ def solve_distributed(
     K: int | None = None,
     graph_n_d: int | None = None,
     config: SolverConfig = DEFAULT_CONFIG,
+    t_kill: float | None = None,
+    verbose: bool = False,
 ) -> DistributedResult:
     """Solve by proximity decomposition.
 
@@ -164,7 +171,20 @@ def solve_distributed(
     power of two (compute scales with the true interaction density instead
     of the fleet size; the reference's per-agent subproblems are likewise
     neighborhood-sized, distributed.py:224-247).
+
+    ``t_kill`` caps the wall-clock of the whole decomposed solve (the
+    reference forwards it into every subproblem solve,
+    distributed.py:25,66-68 -> control.py:213-218); it routes to the
+    host-stepped deadline solve (parallel/deadline.py).
     """
+    if t_kill is not None:
+        from .deadline import solve_distributed_steppable
+
+        return solve_distributed_steppable(
+            fleet, cost, X, U, radius, ignore_mask=ignore_mask, K=K,
+            graph_n_d=graph_n_d, config=config, t_kill=t_kill,
+            verbose=verbose,
+        )
     X = jnp.asarray(X)
     U = jnp.asarray(U, dtype=X.dtype)
     n = fleet.n_agents

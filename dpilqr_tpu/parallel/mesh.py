@@ -97,6 +97,7 @@ def _solve_distributed_sharded(
         iters=res.iters,
         converged=res.converged,
         sizes=batch.sizes,
+        truncated=jnp.any(batch.sizes > K),
     )
 
 
@@ -172,6 +173,7 @@ def _solve_trials_sharded(
         return DistributedResult(
             X=X_dec, U=U_dec, J=J_full, membership=membership,
             iters=res.iters, converged=res.converged, sizes=batch.sizes,
+            truncated=jnp.any(batch.sizes > K),
         )
 
     return jax.vmap(one)(cost_T, X_T, U_T)

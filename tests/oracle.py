@@ -119,19 +119,26 @@ class OracleGameCost:
     REF_W = 1.0
     PROX_W = 200.0
 
-    def __init__(self, xf, Q, R, Qf, radius, nx, nu, n_agents, n_pos=2):
+    def __init__(
+        self, xf, Q, R, Qf, radius, nx, nu, n_agents, n_pos=2,
+        n_pos_eval=None,
+    ):
         self.xf = xf.flatten()
         self.Q, self.R, self.Qf = Q, R, Qf  # per-agent lists
         self.radius = radius
         self.nx, self.nu, self.n = nx, nu, n_agents
         self.n_pos = n_pos
+        # Reference quirk (cost.py:121-123 via util.py:48): uniform-dim
+        # fleets EVALUATE the proximity penalty with n_pos_eval (=2)
+        # dimensions while quadraticizing with n_pos.
+        self.n_pos_eval = n_pos if n_pos_eval is None else n_pos_eval
 
     def _pairs(self):
         return itertools.combinations(range(self.n), 2)
 
     def prox(self, x):
         total = 0.0
-        nd = self.n_pos
+        nd = self.n_pos_eval
         for i, j in self._pairs():
             pi = x[i * self.nx : i * self.nx + nd]
             pj = x[j * self.nx : j * self.nx + nd]

@@ -183,3 +183,168 @@ def test_selfish_warmstart_facade():
     U = prob.selfish_warmstart(np.zeros(8), N)
     assert U.shape == (N, 4)
     assert np.abs(U).max() > 0
+
+
+def test_symbolic_model_extensibility():
+    """SymbolicModel (reference dynamics.py:95-114): a user-defined sympy
+    model matches the equivalent built-in and runs through the TPU core."""
+    import sympy as sym
+
+    class UserBike(api.SymbolicModel):
+        def __init__(self, dt, id=None):
+            super().__init__(5, 2, dt, id)
+            x = sym.Matrix(sym.symbols("p_x p_y v theta phi"))
+            u = sym.Matrix(sym.symbols("a rho"))
+            x_dot = sym.Matrix(
+                [
+                    x[2] * sym.cos(x[3]),
+                    x[2] * sym.sin(x[3]),
+                    u[0],
+                    x[2] * sym.tan(x[4]),
+                    u[1],
+                ]
+            )
+            self._build(x, u, x_dot)
+
+    dt = 0.1
+    m = UserBike(dt)
+    ref = api.BikeDynamics5D(dt)
+    x = np.array([1.0, 2.0, 0.5, 0.3, 0.1])
+    u = np.array([0.2, -0.1])
+    assert np.allclose(m.f(x, u), ref.f(x, u))
+    A, B = m.linearize(x, u)
+    Ar, Br = ref.linearize(x, u)
+    assert np.allclose(A, Ar) and np.allclose(B, Br)
+    assert np.allclose(m(x, u), ref(x, u))
+
+    # End-to-end through the array core (Fleet built from the custom spec).
+    rc = api.ReferenceCost(np.zeros(5), np.eye(5), 0.1 * np.eye(2), id=m.id)
+    prob = api.ilqrProblem(api.MultiDynamicalModel([m]), api.GameCost([rc]))
+    X, U, J = api.ilqrSolver(prob, 20).solve(x, verbose=False)
+    assert X.shape == (21, 5) and np.isfinite(J)
+    assert np.linalg.norm(X[-1][:2]) < np.linalg.norm(x[:2])
+
+
+def test_quadraticize_distance_matches_core():
+    """quadraticize_distance (reference cost.py:269-315) agrees with the
+    array core's pair Hessian and with finite differences."""
+    r = 2.0
+    for nd in (2, 3):
+        # The reference evaluates the FULL 3-D distance and truncates the
+        # outputs; 2-D callers pass z=0 points (reference cost.py:275-277).
+        z_a, z_b = (0.3, -0.1) if nd == 3 else (0.0, 0.0)
+        pa, pb = api.Point(0.1, -0.2, z_a), api.Point(0.4, 0.3, z_b)
+        L_x, L_xx = api.quadraticize_distance(pa, pb, r, nd)
+        assert L_x.shape == (nd,) and L_xx.shape == (nd, nd)
+        # FD check of the gradient of min(0, d - r)^2 wrt point_a.
+        a = np.array([pa.x, pa.y, pa.z])[:nd]
+        b = np.array([pb.x, pb.y, pb.z])[:nd]
+
+        def pen(p):
+            d = np.linalg.norm(p - b)
+            return min(0.0, d - r) ** 2
+
+        eps = 1e-6
+        g_fd = np.array(
+            [
+                (pen(a + eps * np.eye(nd)[i]) - pen(a - eps * np.eye(nd)[i]))
+                / (2 * eps)
+                for i in range(nd)
+            ]
+        )
+        assert np.allclose(L_x, g_fd, atol=1e-5)
+    # Outside the radius: identically zero.
+    L_x, L_xx = api.quadraticize_distance(api.Point(0, 0), api.Point(5, 5), 1.0, 2)
+    assert not L_x.any() and not L_xx.any()
+
+
+def test_finite_difference_helpers():
+    """quadraticize_finite_difference (reference cost.py:318-349) and
+    linearize_finite_difference (dynamics.py:281-290) vs analytic paths."""
+    rc = api.ReferenceCost(np.arange(4.0), np.diag([1.0, 2, 3, 4]), np.eye(2))
+    x, u = np.array([0.5, -1.0, 2.0, 0.1]), np.array([0.3, -0.2])
+    L_x, L_u, L_xx, L_uu, L_ux = rc.quadraticize(x, u)
+    F_x, F_u, F_xx, F_uu, F_ux = api.quadraticize_finite_difference(rc, x, u)
+    assert np.allclose(L_x, F_x, atol=1e-4)
+    assert np.allclose(L_u, F_u, atol=1e-4)
+    assert np.allclose(L_xx, F_xx, atol=1e-2)
+    assert np.allclose(L_uu, F_uu, atol=1e-2)
+
+    m = api.UnicycleDynamics4D(0.1)
+    x, u = np.array([1.0, 2.0, 0.5, 0.3]), np.array([0.2, -0.1])
+    A_fd, B_fd = api.linearize_finite_difference(m.f, x, u)
+    A, B = m.linearize(x, u)  # Euler-discretized
+    assert np.allclose(np.eye(4) + 0.1 * A_fd, A, atol=1e-5)
+    assert np.allclose(0.1 * B_fd, B, atol=1e-5)
+
+
+def test_flat_kernel_surface():
+    """Model / f / integrate / linearize (reference bbdynamicswrap.pyx:8-164)."""
+    x, u, dt = np.array([1.0, 2.0, 0.5, 0.3]), np.array([0.1, 0.2]), 0.1
+    assert int(api.Model.Unicycle4D) == 3
+    xdot = api.f(x, u, api.Model.Unicycle4D)
+    assert np.allclose(
+        xdot, [0.5 * np.cos(0.3), 0.5 * np.sin(0.3), 0.1, 0.2]
+    )
+    xn = api.integrate(x, u, dt, api.Model.Unicycle4D)
+    m = api.UnicycleDynamics4D(dt)
+    assert np.allclose(xn, m(x, u), atol=1e-12)
+    A, B = api.linearize(x, u, dt, api.Model.Unicycle4D)
+    Am, Bm = m.linearize(x, u)
+    assert np.allclose(A, Am) and np.allclose(B, Bm)
+
+
+def test_graphics_exports():
+    """The reference's graphics surface exists on the facade
+    (reference __init__.py:33-39)."""
+    import matplotlib
+
+    matplotlib.use("Agg")
+    for name in (
+        "set_bounds",
+        "plot_solve",
+        "plot_interaction_graph",
+        "plot_pairwise_distances",
+        "make_trajectory_gif",
+        "eyeball_scenario",
+    ):
+        assert callable(getattr(api, name))
+    # Flat-layout smoke: 2 unicycles.
+    X = np.zeros((5, 8))
+    X[:, 0] = np.linspace(0, 1, 5)
+    X[:, 4] = np.linspace(1, 0, 5)
+    ax = api.plot_solve(X, 12.3, np.zeros(8), [4, 4], n_d=2)
+    assert ax is not None
+    import matplotlib.pyplot as plt
+
+    plt.close("all")
+
+
+def test_solve_distributed_facade_t_kill():
+    """t_kill flows through the reference-compatible facade
+    (reference distributed.py:25,66-68 -> control.py:213-218)."""
+    dt, N, n = 0.1, 10, 3
+    models = [api.UnicycleDynamics4D(dt, i) for i in range(n)]
+    dynamics = api.MultiDynamicalModel(models)
+    x0 = np.array([0.0, 0, 0, 0, 1.5, 0, 0, 0, 0, 1.5, 0, 0])
+    xf = np.array([1.5, 1.5, 0, 0, 0, 1.5, 0, 0, 1.5, 0, 0, 0])
+    costs = [
+        api.ReferenceCost(
+            xf[4 * i : 4 * (i + 1)], np.eye(4), np.eye(2), 100 * np.eye(4), i
+        )
+        for i in range(n)
+    ]
+    game = api.GameCost(costs, api.ProximityCost([4] * n, 0.5, [2] * n))
+    prob = api.ilqrProblem(dynamics, game)
+    X0 = np.tile(x0, (N + 1, 1))
+    U0 = np.zeros((N, 2 * n))
+
+    # Deadline already expired: returns immediately with a valid plan.
+    X, U, J, info = api.solve_distributed(prob, X0, U0, 0.5, t_kill=1e-9)
+    assert X.shape == (N + 1, 4 * n) and U.shape == (N, 2 * n)
+    assert np.isfinite(J)
+    # Generous deadline: matches the no-deadline solve.
+    X2, U2, J2, _ = api.solve_distributed(prob, X0, U0, 0.5, t_kill=60.0)
+    Xn, Un, Jn, _ = api.solve_distributed(prob, X0, U0, 0.5)
+    assert np.isclose(J2, Jn)
+    assert np.allclose(X2, Xn)

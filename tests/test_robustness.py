@@ -165,3 +165,143 @@ class TestDistributedDeadline:
         assert int(np.asarray(full.iters).max()) > 2
         # Result is still a valid (rolled-out) plan with finite cost.
         assert np.isfinite(float(capped.J))
+
+    def test_t_kill_midflight(self):
+        """Non-degenerate deadline: sized to stop an unlimited-length solve
+        roughly halfway (reference control.py:213-218 stops accepting
+        iterations once the wall clock passes)."""
+        from dpilqr_tpu.parallel.deadline import solve_distributed_steppable
+
+        n, N = 6, 30
+        rng = np.random.default_rng(7)
+        x0, xf = dtl.random_setup(n, 4, rng=rng, energy=5.0, n_d=2)
+        fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, 0.1)
+        cost = _costs.make_game_cost(
+            jnp.asarray(xf),
+            np.tile(np.eye(4), (n, 1, 1)),
+            np.tile(np.eye(2), (n, 1, 1)),
+            np.tile(1e3 * np.eye(4), (n, 1, 1)),
+            radius=0.5,
+        )
+        X0 = jnp.broadcast_to(jnp.asarray(x0)[None], (N + 1, n, 4))
+        U0 = jnp.zeros((N, n, 2))
+        # Tiny tol: the unlimited solve runs many iterations.
+        cfg = SolverConfig(n_lqr_iter=40, tol=1e-12)
+
+        args = (fleet, cost, X0, U0, 0.5)
+        kw = dict(K=4, config=cfg)
+        full = solve_distributed_steppable(*args, **kw, t_kill=None)  # warm-up
+        t0 = perf_counter()
+        full = solve_distributed_steppable(*args, **kw, t_kill=None)
+        t_full = perf_counter() - t0
+        iters_full = int(np.asarray(full.iters).max())
+        assert iters_full >= 6  # precondition: enough room to stop midway
+
+        capped = solve_distributed_steppable(
+            *args, **kw, t_kill=0.5 * t_full
+        )
+        iters_capped = int(np.asarray(capped.iters).max())
+        assert 0 < iters_capped < iters_full
+        assert np.isfinite(float(capped.J))
+
+
+class TestTruncationGuard:
+    def _dense_cluster(self, n, N=10):
+        fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, 0.1)
+        # All agents within one planning radius of each other.
+        x0 = np.zeros((n, 4))
+        x0[:, 0] = np.linspace(0, 0.3, n)
+        xf = x0 + np.array([2.0, 0, 0, 0])
+        cost = _costs.make_game_cost(
+            jnp.asarray(xf),
+            np.tile(np.eye(4), (n, 1, 1)),
+            np.tile(np.eye(2), (n, 1, 1)),
+            np.tile(1e3 * np.eye(4), (n, 1, 1)),
+            radius=0.5,
+        )
+        X0 = jnp.broadcast_to(jnp.asarray(x0)[None], (N + 1, n, 4))
+        U0 = jnp.zeros((N, n, 2))
+        return fleet, cost, X0, U0
+
+    def test_truncated_flag(self):
+        """K smaller than a neighborhood drops coupling partners; the result
+        must SAY so (the reference never truncates, problem.py:36-47)."""
+        fleet, cost, X0, U0 = self._dense_cluster(5)
+        cfg = SolverConfig(n_lqr_iter=3)
+        res_small = dtl.solve_distributed(
+            fleet, cost, X0, U0, 0.5, K=2, config=cfg
+        )
+        assert bool(np.asarray(res_small.truncated))
+        # Auto-K / adequate K: no truncation.
+        res_auto = dtl.solve_distributed(fleet, cost, X0, U0, 0.5, config=cfg)
+        assert not bool(np.asarray(res_auto.truncated))
+        # The deadline path carries the flag too.
+        from dpilqr_tpu.parallel.deadline import solve_distributed_steppable
+
+        res_dl = solve_distributed_steppable(
+            fleet, cost, X0, U0, 0.5, K=2, config=cfg, t_kill=None
+        )
+        assert bool(np.asarray(res_dl.truncated))
+
+
+class TestFacadeProxDefault:
+    def test_3d_fleet_reference_semantics_by_default(self):
+        """A drop-in user's all-3-D fleet gets the reference's exact
+        trajectories with NO flag: the proximity penalty EVALUATES with 2-D
+        distances (reference cost.py:121-123 via util.py:48) while the
+        derivatives use min(n_dims)=3 (cost.py:135-171)."""
+        import sys
+        from pathlib import Path
+
+        sys.path.insert(0, str(Path(__file__).parent))
+        from oracle import OracleGameCost, OracleMultiModel, oracle_ilqr
+
+        from dpilqr_tpu import api
+
+        n, nx, nu, dt, N = 3, 6, 3, 0.1, 15
+        radius = 1.5
+        rng = np.random.default_rng(3)
+        x0 = np.zeros((n, nx))
+        x0[:, :3] = rng.uniform(-1, 1, (n, 3))
+        xf = np.zeros((n, nx))
+        xf[:, :3] = -x0[:, :3]
+
+        models = [api.QuadcopterDynamics6D(dt, i) for i in range(n)]
+        rcs = [
+            api.ReferenceCost(
+                xf[i], np.eye(nx), np.eye(nu), 100 * np.eye(nx), i
+            )
+            for i in range(n)
+        ]
+        # DEFAULT proximity cost: n_dims=[3,3,3], no eval flag supplied.
+        game = api.GameCost(
+            rcs, api.ProximityCost([nx] * n, radius, [3] * n)
+        )
+        prob = api.ilqrProblem(api.MultiDynamicalModel(models), game)
+        X, U, J = api.ilqrSolver(prob, N).solve(
+            x0.flatten(), n_lqr_iter=12, tol=1e-9, verbose=False
+        )
+
+        model_o = OracleMultiModel("Quad6D", n, dt)
+        # Hover thrust is zero-control in neither system; both start at U=0.
+        cost_o = OracleGameCost(
+            xf.flatten(), [np.eye(nx)] * n, [np.eye(nu)] * n,
+            [100 * np.eye(nx)] * n, radius, nx, nu, n,
+            n_pos=3, n_pos_eval=2,  # the reference quirk
+        )
+        X_o, U_o, J_o, _, _ = oracle_ilqr(
+            model_o, cost_o, x0.flatten(), N=N, n_lqr_iter=12, tol=1e-9
+        )
+        assert np.isclose(J, J_o, rtol=1e-6)
+        assert np.allclose(X, X_o, atol=1e-6)
+
+        # Sanity: the quirk is load-bearing -- consistent-mode (eval 3-D)
+        # oracle produces a DIFFERENT trajectory for this scenario.
+        cost_c = OracleGameCost(
+            xf.flatten(), [np.eye(nx)] * n, [np.eye(nu)] * n,
+            [100 * np.eye(nx)] * n, radius, nx, nu, n, n_pos=3,
+        )
+        X_c, _, J_c, _, _ = oracle_ilqr(
+            model_o, cost_c, x0.flatten(), N=N, n_lqr_iter=12, tol=1e-9
+        )
+        assert not np.allclose(X, X_c, atol=1e-6)

@@ -93,9 +93,17 @@ def _rollout_fn(step_fn, cost: GameCost, x0, U):
     return X, J
 
 
+@partial(jax.jit, static_argnums=0)
+def _rollout_jit(step_fn, cost: GameCost, x0, U):
+    return _rollout_fn(step_fn, cost, x0, U)
+
+
 def rollout(fleet: Fleet, cost: GameCost, x0, U):
-    """Public rollout on a static fleet."""
-    return _rollout_fn(fleet.step, cost, x0, U)
+    """Public rollout on a static fleet.
+
+    Jitted (keyed on the fleet's cached ``step`` callable): re-tracing the
+    scan eagerly on every call costs ~300 ms of host time per call."""
+    return _rollout_jit(fleet.step, cost, x0, U)
 
 
 def _rollout_batched_cost(step_fn, cost: GameCost, x0, U):

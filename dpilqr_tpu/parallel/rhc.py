@@ -6,15 +6,27 @@ repeatedly solves (centralized or decomposed), advances ``step_size`` steps,
 and shift-and-pads the warm start.  The per-step solves are single jitted
 device programs; the MPC loop itself is host-side by nature (it models
 simulated/real time and sensor feedback).
+
+Unlike the reference -- whose inner loop is all-numpy so host work is free --
+the per-step host overhead here is real latency between device programs, so
+the loop is device-resident: trajectories stay on device, the advance /
+warm-start shift is one jitted program (``_advance_shift``), executed slices
+accumulate as device arrays, and exactly ONE small host transfer per step
+carries the scalars the loop logic needs (J, per-agent goal distances, max
+neighborhood size).  Interaction-graph dicts and per-subproblem iteration
+counts are converted after the loop unless a per-step consumer (``log_fn``,
+``verbose``, checkpointing) needs them live.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass, field
+from functools import partial
 from time import perf_counter
 from typing import Callable
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import DEFAULT_CONFIG, SolverConfig
@@ -26,17 +38,44 @@ from .distributed import solve_distributed
 from .graph import graph_to_dict
 
 
-@dataclass
 class RhcStepInfo:
     """Per-MPC-step record (the reference's solve_info + CSV row,
-    distributed.py:187-194)."""
+    distributed.py:187-194).
 
-    t: float
-    J: float
-    solve_time: float
-    graph: dict | None
-    iters: list
-    distance_left: list
+    ``graph`` and ``iters`` materialize lazily: in the fast path the loop
+    holds only device handles and the host conversion (one batched transfer
+    for ALL steps of the run) happens on first access."""
+
+    __slots__ = ("t", "J", "solve_time", "distance_left", "_graph", "_iters",
+                 "_resolve")
+
+    def __init__(self, t, J, solve_time, distance_left, graph=None,
+                 iters=None):
+        self.t = t
+        self.J = J
+        self.solve_time = solve_time
+        self.distance_left = distance_left
+        self._graph = graph
+        self._iters = [] if iters is None else iters
+        self._resolve = None
+
+    @property
+    def graph(self) -> dict | None:
+        if self._resolve is not None:
+            self._resolve()
+        return self._graph
+
+    @property
+    def iters(self) -> list:
+        if self._resolve is not None:
+            self._resolve()
+        return self._iters
+
+    def __repr__(self):
+        return (
+            f"RhcStepInfo(t={self.t!r}, J={self.J!r}, "
+            f"solve_time={self.solve_time!r})"
+        )
 
 
 @dataclass
@@ -46,6 +85,28 @@ class RhcResult:
     J: float  # joint cost of the executed plan
     converged: bool
     steps: list = field(default_factory=list)  # list[RhcStepInfo]
+
+
+@partial(jax.jit, static_argnames=("step_size", "n_d"))
+def _advance_shift(X, U, xf, step_size: int, n_d: int):
+    """Advance the simulated system and shift-and-pad the warm start
+    (reference distributed.py:178-185) as one device program.
+
+    Returns ``(xi, X_exec, U_exec, X_warm, U_warm, dists)`` where ``dists``
+    is the per-agent distance-to-goal at the new state (the convergence
+    predicate input, distributed.py:135-139)."""
+    xi = X[step_size]
+    X_exec = X[:step_size]
+    U_exec = U[:step_size]
+    X_warm = jnp.concatenate(
+        [X[step_size:], jnp.tile(X[-1], (step_size, 1, 1))], axis=0
+    )
+    U_warm = jnp.concatenate(
+        [U[step_size:], jnp.zeros((step_size,) + U.shape[1:], U.dtype)],
+        axis=0,
+    )
+    dists = distance_to_goal(xi, xf, n_d)
+    return xi, X_exec, U_exec, X_warm, U_warm, dists
 
 
 def solve_rhc(
@@ -76,7 +137,7 @@ def solve_rhc(
     ``dist_converge`` (stop when every agent is within this distance of its
     goal) must be given (reference distributed.py:125-143).  ``t_diverge``
     aborts after that much simulated time; ``t_kill`` caps wall-clock per
-    solve (centralized mode; reference control.py:213-218).
+    solve (reference control.py:213-218).
     """
     if (J_converge is None) == (dist_converge is None):
         raise ValueError("Specify exactly one of J_converge or dist_converge")
@@ -95,59 +156,81 @@ def solve_rhc(
     dtype = x0.dtype
     x0 = x0.reshape(n, nx_p)
     xf = np.asarray(cost.xf)
+    xf_dev = jnp.asarray(xf, dtype)
 
-    def predicate(x, J):
+    def stop(J, dists):
         if J_converge is not None:
-            return J >= J_converge
-        d = np.asarray(distance_to_goal(jnp.asarray(x), jnp.asarray(xf), n_d))
-        return bool(np.any(d > dist_converge))
+            return J < J_converge
+        return bool(np.all(dists <= dist_converge))
 
     if resume_state is not None:
         # Resume a checkpointed run (utils/checkpoint.py).
-        xi = resume_state.xi.copy()
-        X = resume_state.X_warm.copy()
-        U = resume_state.U_warm.copy()
+        xi = jnp.asarray(resume_state.xi)
+        X = jnp.asarray(resume_state.X_warm)
+        U = jnp.asarray(resume_state.U_warm)
         t = resume_state.t
-        X_full = resume_state.X_full.copy()
-        U_full = resume_state.U_full.copy()
+        X_exec_parts = [jnp.asarray(resume_state.X_full)]
+        U_exec_parts = [jnp.asarray(resume_state.U_full)]
         step_count = resume_state.step
     else:
         # Small random warm start (reference distributed.py:152).
-        U = (rng.uniform(size=(N, n, nu_p)) * 0.01).astype(dtype)
-        U = U * np.asarray(fleet.control_mask, dtype)[None]
-        X = x0[None].copy()  # (1, n, nx) until the first solve
-        xi = x0.copy()
+        U_np = (rng.uniform(size=(N, n, nu_p)) * 0.01).astype(dtype)
+        U_np = U_np * np.asarray(fleet.control_mask, dtype)[None]
+        U = jnp.asarray(U_np)
+        X = jnp.asarray(x0[None])  # (1, n, nx) until the first solve
+        xi = jnp.asarray(x0)
         t = 0.0
-        X_full = np.zeros((0, n, nx_p), dtype)
-        U_full = np.zeros((0, n, nu_p), dtype)
+        X_exec_parts = []
+        U_exec_parts = []
         step_count = 0
 
     J = np.inf
+    # Initial goal distances are only needed by the dist_converge predicate
+    # (one host round trip saved in J_converge mode).
+    dists = (
+        np.asarray(distance_to_goal(xi, xf_dev, n_d))
+        if dist_converge is not None
+        else None
+    )
     converged = True
     steps: list[RhcStepInfo] = []
+    # Deferred per-step device payloads, converted after the loop (one
+    # transfer instead of a host sync per MPC step).
+    deferred: list[tuple] = []
+    # Per-step consumers force eager conversion (old behavior).
+    eager = verbose or log_fn is not None or checkpoint_path is not None
     # Subproblem width is cached across MPC steps (it changes rarely under
     # power-of-2 bucketing): computed from the returned neighborhood sizes
     # of the previous step instead of an extra graph build + host sync per
     # step (round-1 weakness: parallel/distributed.py auto width).
     K_cur = K
 
-    while predicate(xi, J):
+    def _materialize_exec():
+        if X_exec_parts:
+            X_out = np.asarray(jnp.concatenate(X_exec_parts, axis=0))
+            U_out = np.asarray(jnp.concatenate(U_exec_parts, axis=0))
+            if X_out.size:
+                return X_out, U_out
+        # Immediate convergence without optimization (distributed.py:206-208).
+        return x0[None].copy(), np.zeros((1, n, nu_p), dtype)
+
+    def dispatch(t_step, xi_cur, X_w, U_w):
+        """Dispatch one MPC step (solve + advance/shift) asynchronously.
+
+        Everything returned is a device handle; nothing here blocks on the
+        device (one async program chain per step)."""
         t0 = perf_counter()
         if centralized:
             if t_kill is not None:
                 res = ilqr_solve_steppable(
-                    fleet, cost, jnp.asarray(xi), U0=jnp.asarray(U),
-                    config=config, t_kill=t_kill,
+                    fleet, cost, xi_cur, U0=U_w, config=config, t_kill=t_kill
                 )
             else:
-                res = ilqr_solve(
-                    fleet, cost, jnp.asarray(xi), U0=jnp.asarray(U), config=config
-                )
-            X = np.asarray(res.X)
-            U = np.asarray(res.U)
-            J = float(res.J)
-            graph = None
-            iters = [int(res.iters)]
+                res = ilqr_solve(fleet, cost, xi_cur, U0=U_w, config=config)
+            X_sol, U_sol, J_dev = res.X, res.U, res.J
+            membership = None
+            iters_dev = jnp.asarray(res.iters)[None]
+            kmax_dev = None
         else:
             if t_kill is not None:
                 # Deadline-capped batched solve (reference forwards t_kill
@@ -155,86 +238,167 @@ def solve_rhc(
                 from .deadline import solve_distributed_steppable
 
                 dres = solve_distributed_steppable(
-                    fleet, cost, jnp.asarray(X), jnp.asarray(U), radius,
+                    fleet, cost, X_w, U_w, radius,
                     ignore_mask=ignore_mask, K=K_cur, config=config,
                     t_kill=t_kill,
                 )
             else:
                 dres = solve_distributed(
-                    fleet, cost, jnp.asarray(X), jnp.asarray(U), radius,
+                    fleet, cost, X_w, U_w, radius,
                     ignore_mask=ignore_mask, K=K_cur, config=config,
                 )
-            X = np.asarray(dres.X)
-            U = np.asarray(dres.U)
-            J = float(dres.J)
-            graph = graph_to_dict(dres.membership)
-            iters = np.asarray(dres.iters).tolist()
-            if K is None:
-                # Grow immediately; shrink with hysteresis (each width
-                # change costs one compile, amortized by the cache).
-                k_need = int(np.asarray(dres.sizes).max())
-                k_need = 1 << (k_need - 1).bit_length() if k_need > 1 else 1
-                k_need = min(k_need, n)
-                if K_cur is None or k_need > K_cur or k_need <= K_cur // 2:
-                    K_cur = k_need
-        solve_time = perf_counter() - t0
+            X_sol, U_sol, J_dev = dres.X, dres.U, dres.J
+            membership = dres.membership
+            iters_dev = dres.iters
+            kmax_dev = jnp.max(dres.sizes) if K is None else None
 
-        # Advance the simulated system (reference distributed.py:178-181).
-        xi = X[step_size]
-        X_full = np.concatenate([X_full, X[:step_size]], axis=0)
-        U_full = np.concatenate([U_full, U[:step_size]], axis=0)
-
-        # Shift-and-pad warm start (distributed.py:184-185).
-        X = np.concatenate(
-            [X[step_size:], np.tile(X[-1], (step_size, 1, 1))], axis=0
+        xi_n, X_exec, U_exec, X_n, U_n, dists_dev = _advance_shift(
+            jnp.asarray(X_sol), jnp.asarray(U_sol), xf_dev, step_size, n_d
         )
-        U = np.concatenate(
-            [U[step_size:], np.zeros((step_size, n, nu_p), U.dtype)], axis=0
-        )
+        return {
+            "t": t_step, "t0": t0, "J": J_dev, "dists": dists_dev,
+            "kmax": kmax_dev, "membership": membership, "iters": iters_dev,
+            "X_exec": X_exec, "U_exec": U_exec, "xi": xi_n,
+            "X": X_n, "U": U_n,
+        }
 
-        dist_left = np.asarray(
-            distance_to_goal(jnp.asarray(xi), jnp.asarray(xf), n_d)
-        ).tolist()
+    def resolve(rec):
+        """Block on the step's loop-control scalars and commit the step.
+
+        Returns (stop, diverged)."""
+        nonlocal K_cur, step_count, converged
+        # The ONE host sync of the step: loop-control scalars only.
+        J_h, dists_h, kmax = jax.device_get(
+            (rec["J"], rec["dists"], rec["kmax"])
+        )
+        J_h = float(J_h)
+        solve_time = perf_counter() - rec["t0"]
+
+        if kmax is not None:
+            # Grow immediately; shrink with hysteresis (each width change
+            # costs one compile, amortized by the cache).  Under pipelining
+            # the width update lags one extra step (the next dispatch is
+            # already in flight when this resolves).
+            k_need = int(kmax)
+            k_need = 1 << (k_need - 1).bit_length() if k_need > 1 else 1
+            k_need = min(k_need, n)
+            if K_cur is None or k_need > K_cur or k_need <= K_cur // 2:
+                K_cur = k_need
+
+        X_exec_parts.append(rec["X_exec"])
+        U_exec_parts.append(rec["U_exec"])
+
         info = RhcStepInfo(
-            t=t, J=J, solve_time=solve_time, graph=graph, iters=iters,
-            distance_left=dist_left,
+            t=rec["t"], J=J_h, solve_time=solve_time,
+            distance_left=dists_h.tolist(),
         )
+        if eager:
+            info._graph = (
+                graph_to_dict(rec["membership"])
+                if rec["membership"] is not None
+                else None
+            )
+            info._iters = np.asarray(rec["iters"]).tolist()
+        else:
+            deferred.append((info, rec["membership"], rec["iters"]))
         steps.append(info)
         step_count += 1
         if checkpoint_path is not None:
             from ..utils.checkpoint import RhcState, save_rhc_state
 
+            X_full_np, U_full_np = _materialize_exec()
             # Store the NEXT iteration's simulated time so a resumed run
             # continues exactly where this one left off.
             save_rhc_state(
                 checkpoint_path,
                 RhcState(
-                    xi=xi, X_warm=X, U_warm=U, t=t + step_size * dt,
-                    X_full=X_full, U_full=U_full, step=step_count,
+                    xi=np.asarray(rec["xi"]), X_warm=np.asarray(rec["X"]),
+                    U_warm=np.asarray(rec["U"]),
+                    t=rec["t"] + step_size * dt,
+                    X_full=X_full_np, U_full=U_full_np, step=step_count,
                 ),
             )
         if log_fn:
             log_fn(info)
         if verbose:
-            print(f"t: {t:.3g}\tJ: {J:g}\tsolve: {solve_time:.3g}s")
+            print(
+                f"t: {rec['t']:.3g}\tJ: {J_h:g}\tsolve: {solve_time:.3g}s"
+            )
 
-        if t_diverge is not None and t >= t_diverge:
+        diverged = t_diverge is not None and rec["t"] >= t_diverge
+        if diverged:
             converged = False
             if verbose:
                 print("Failed to converge within allotted time...")
-            break
-        t += step_size * dt
+        return stop(J_h, dists_h), diverged
 
-    # Immediate convergence without optimization (distributed.py:206-208).
-    if X_full.size == 0:
+    # Depth-1 pipeline: the next step is dispatched from the device-resident
+    # warm start BEFORE the current step's scalars are fetched, so the
+    # ~per-sync host<->device round trip hides under the next solve's device
+    # time.  A step dispatched past the stopping point is simply discarded
+    # (never committed), so results are identical to the sequential loop.
+    # t_kill mode steps the solver host-side (parallel/deadline.py), which
+    # blocks anyway -- no pipelining there.
+    pipeline = t_kill is None
+    if not stop(J, dists):
+        rec = dispatch(t, xi, X, U)
+        xi, X, U = rec["xi"], rec["X"], rec["U"]
+        while True:
+            will_diverge = t_diverge is not None and rec["t"] >= t_diverge
+            nxt = None
+            if pipeline and not will_diverge:
+                t_next = rec["t"] + step_size * dt
+                nxt = dispatch(t_next, xi, X, U)
+            stopped, diverged = resolve(rec)
+            if stopped or diverged:
+                break  # in-flight `nxt` (if any) is discarded
+            if nxt is None:
+                t_next = rec["t"] + step_size * dt
+                nxt = dispatch(t_next, xi, X, U)
+            rec = nxt
+            xi, X, U = rec["xi"], rec["X"], rec["U"]
+
+    # Deferred graph/iteration fields resolve lazily on first access: stack
+    # on device and fetch ALL steps in one transfer (per-array fetches each
+    # pay a full host round trip; many callers never read these fields).
+    if deferred:
+
+        def _resolve_deferred():
+            its_host = np.asarray(jnp.stack([it for _, _, it in deferred]))
+            mems = [m for _, m, _ in deferred]
+            mems_host = (
+                np.asarray(jnp.stack(mems)) if mems[0] is not None else None
+            )
+            for k, (info, _, _) in enumerate(deferred):
+                info._graph = (
+                    graph_to_dict(mems_host[k])
+                    if mems_host is not None
+                    else None
+                )
+                info._iters = its_host[k].tolist()
+                info._resolve = None
+
+        for info, _, _ in deferred:
+            info._resolve = _resolve_deferred
+
+    # Executed trajectory + its joint cost (distributed.py:206-211), fetched
+    # in ONE host round trip.
+    if X_exec_parts and sum(p.shape[0] for p in X_exec_parts) > 0:
+        Xc = jnp.concatenate(X_exec_parts, axis=0)
+        Uc = jnp.concatenate(U_exec_parts, axis=0)
+        _, J_dev = rollout(fleet, cost, jnp.asarray(x0), Uc)
+        X_full, U_full, J_full = jax.device_get((Xc, Uc, J_dev))
+    else:
+        # Immediate convergence without optimization (distributed.py:206-208).
         X_full = x0[None].copy()
-        U_full = np.zeros((1, n, nu_p))
-
-    # Joint cost of the executed control sequence (distributed.py:210-211).
-    _, J_full = rollout(fleet, cost, jnp.asarray(x0), jnp.asarray(U_full))
+        U_full = np.zeros((1, n, nu_p), dtype)
+        _, J_full = rollout(
+            fleet, cost, jnp.asarray(x0), jnp.asarray(U_full)
+        )
 
     return RhcResult(
-        X=X_full, U=U_full, J=float(J_full), converged=converged, steps=steps
+        X=np.asarray(X_full), U=np.asarray(U_full), J=float(J_full),
+        converged=converged, steps=steps,
     )
 
 

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Benchmark: DP-iLQR solves at 10 / 50 / 100 agents on the current backend.
+"""Benchmark: DP-iLQR solves at 10 / 50 / 100 / 250 / 500 agents.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
 
@@ -13,9 +13,16 @@ Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline", "extra"}.
   dense numpy transcription of the reference solving the same subproblems
   SEQUENTIALLY (its distributed.py:56-77 path): per-iteration oracle time
   on one K-slot subproblem x the total subproblem iterations executed.
-- extra: 50- and 250-agent distributed and 10-agent centralized wall-clock
-  (the round-1 headline metric, kept comparable), replanning Hz, and the
-  Riccati block-nnz/s north-star counter.
+  BASELINE.md records a full end-to-end measured run of the same oracle
+  validating this projection.
+- extra: per-scale wall-clock + replanning Hz, each with the RESOLVED
+  sweep backend and executed iteration count (self-proving artifacts:
+  a changed number traces to a changed path or changed work); the
+  sustained closed-loop ms per MPC step at 100 agents (solve + graph +
+  gather + advance + warm-start shift, the reference's real-time
+  contract, distributed.py:164-199); and the Riccati block-nnz/s
+  north-star counter.  Every distributed point asserts that no
+  neighborhood was truncated by the static slot count K.
 """
 
 import json
@@ -66,31 +73,42 @@ def main():
         x0j = jnp.asarray(x0, dtype)
         X0 = jnp.broadcast_to(x0j[None], (N + 1, n, 4))
         U0 = jnp.zeros((N, n, 2), dtype)
-        return fleet, cost, X0, U0
+        return fleet, cost, x0, X0, U0
 
     def time_solve(fn, reps=20):
+        """Per-solve wall time by two-point extrapolation: time reps and
+        2*reps dispatches (each ending in one hard host barrier) and report
+        (T2 - T1) / reps.  The barrier costs a full host<->device round
+        trip (~24 ms over the tunnel); subtracting the two runs cancels it
+        exactly instead of smearing it over the rep count (the r01->r02
+        ms_10_centralized 'regression' was exactly this bias)."""
         out = fn()  # warm-up / compile
         float(np.asarray(out.J).sum())  # hard host barrier (tunnel-safe)
-        t0 = time.perf_counter()
-        for _ in range(reps):
-            out = fn()
-        float(np.asarray(out.J).sum())
-        return (time.perf_counter() - t0) / reps * 1e3, out
+
+        def timed(r):
+            t0 = time.perf_counter()
+            for _ in range(r):
+                out = fn()
+            float(np.asarray(out.J).sum())
+            return time.perf_counter() - t0, out
+
+        t1, _ = timed(reps)
+        t2, out = timed(2 * reps)
+        return (t2 - t1) / reps * 1e3, out
 
     import dataclasses
 
     from dpilqr_tpu.ops.pallas_batched import resolve_batched_backend
 
-    results = {}
-    total_iters = {}
-    for n in (50, 100, 250):
-        fleet, cost, X0, U0 = build(n)
+    points = {}  # n -> {"ms", "backend", "iters"}
+    builds = {}
+    for n in (50, 100, 250, 500):
+        fleet, cost, x0, X0, U0 = build(n)
+        builds[n] = (fleet, cost, x0)
         rad = jnp.asarray(radius, dtype)
         ign = jnp.zeros((n,), bool)
-        cfg_n = dataclasses.replace(
-            cfg,
-            sweep_backend=resolve_batched_backend(cfg, fleet, N, K, n, (X0,)),
-        )
+        backend = resolve_batched_backend(cfg, fleet, N, K, n, (X0,))
+        cfg_n = dataclasses.replace(cfg, sweep_backend=backend)
 
         def solve(fleet=fleet, cost=cost, X0=X0, U0=U0, rad=rad, ign=ign,
                   cfg_n=cfg_n):
@@ -99,10 +117,37 @@ def main():
             )
 
         ms, res = time_solve(solve, reps=20 if n <= 100 else 10)
-        results[n] = ms
-        total_iters[n] = int(np.asarray(res.iters).sum())
+        assert not bool(res.truncated), (
+            f"neighborhood truncated at n={n}, K={K}: benchmark invalid"
+        )
+        points[n] = {
+            "ms": ms,
+            "backend": backend,
+            "iters": int(np.asarray(res.iters).sum()),
+        }
+
+    # Sustained closed-loop MPC rate at 100 agents: 20 receding-horizon
+    # steps of solve_rhc (graph build, gather, batched solve, owner
+    # extraction, advance, warm-start shift, per-step host sync).
+    n_steps = 20
+    fleet100, cost100, x0_100 = builds[100]
+
+    def rhc_run():
+        return dtl.solve_rhc(
+            fleet100, cost100, x0_100.astype(np.float32), N, radius=radius,
+            centralized=False, step_size=1, J_converge=1e-3,
+            t_diverge=(n_steps - 1) * dt, K=K, config=cfg,
+            rng=np.random.default_rng(0),
+        )
+
+    rhc_run()  # warm-up / compile
+    t0 = time.perf_counter()
+    res_rhc = rhc_run()
+    ms_mpc_step = (time.perf_counter() - t0) / len(res_rhc.steps) * 1e3
 
     # 10-agent centralized (round-1 headline metric, kept for continuity).
+    from dpilqr_tpu.ops.ilqr import resolve_sweep_backend
+
     rng = np.random.default_rng(12345)
     x0c, xfc = dtl.random_setup(10, 4, rng=rng, energy=10.0, n_d=2)
     fleet10 = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, 10, dt)
@@ -113,12 +158,12 @@ def main():
         jnp.asarray(np.tile(1e3 * np.eye(4), (10, 1, 1)), dtype),
         radius=radius,
     )
-    solve10 = dtl.make_solver(
-        fleet10, N, dtl.SolverConfig(n_lqr_iter=15, tol=1e-9)
-    )
+    cfg10 = dtl.SolverConfig(n_lqr_iter=15, tol=1e-9)
+    backend10 = resolve_sweep_backend(cfg10, fleet10, N)
+    solve10 = dtl.make_solver(fleet10, N, cfg10)
     U0c = jnp.zeros((N, 10, 2), dtype)
     x0cj = jnp.asarray(x0c, dtype)
-    ms10, _ = time_solve(lambda: solve10(cost10, x0cj, U0c))
+    ms10, res10 = time_solve(lambda: solve10(cost10, x0cj, U0c))
 
     # Baseline: the reference algorithm (numpy oracle) solving ONE K-slot
     # subproblem; the reference runs the n subproblems sequentially
@@ -138,15 +183,31 @@ def main():
         model_o, cost_o, x0o.flatten(), N=N, n_lqr_iter=10, tol=1e-9
     )
     base_per_iter_ms = (time.perf_counter() - t0) * 1e3 / max(base_iters, 1)
-    base_100_ms = base_per_iter_ms * total_iters[100]
+    base_100_ms = base_per_iter_ms * points[100]["iters"]
 
     # North-star counter: Riccati block-nnz/s of the 100-agent solve
     # (utils/metrics.py): nonzero block entries touched per second by the
     # backward sweeps actually executed.
     from dpilqr_tpu.utils.metrics import riccati_block_nnz
 
-    nnz = riccati_block_nnz(n_agents=K, nx=4, nu=2, N=N) * total_iters[100]
-    block_nnz_per_s = nnz / (results[100] / 1e3)
+    nnz = riccati_block_nnz(n_agents=K, nx=4, nu=2, N=N) * points[100]["iters"]
+    block_nnz_per_s = nnz / (points[100]["ms"] / 1e3)
+
+    extra = {
+        "ms_per_mpc_step_100": round(ms_mpc_step, 3),
+        "hz_mpc_100": round(1000.0 / ms_mpc_step, 2),
+        "ms_10_centralized": round(ms10, 3),
+        "backend_10_centralized": backend10,
+        "iters_10_centralized": int(np.asarray(res10.iters)),
+        "subproblem_iters_100": points[100]["iters"],
+        "riccati_block_nnz_per_s": float(f"{block_nnz_per_s:.3e}"),
+        "truncated_any": False,  # asserted per distributed point above
+    }
+    for n, p in points.items():
+        extra[f"ms_{n}_distributed"] = round(p["ms"], 3)
+        extra[f"hz_{n}_distributed"] = round(1000.0 / p["ms"], 2)
+        extra[f"backend_{n}_distributed"] = p["backend"]
+        extra[f"iters_{n}_distributed"] = p["iters"]
 
     print(
         json.dumps(
@@ -155,19 +216,10 @@ def main():
                     "dp-ilqr distributed solve, 100 unicycles "
                     "(K=8 neighborhoods), N=50"
                 ),
-                "value": round(results[100], 3),
+                "value": round(points[100]["ms"], 3),
                 "unit": "ms",
-                "vs_baseline": round(base_100_ms / results[100], 3),
-                "extra": {
-                    "hz_100_distributed": round(1000.0 / results[100], 2),
-                    "ms_50_distributed": round(results[50], 3),
-                    "hz_50_distributed": round(1000.0 / results[50], 2),
-                    "ms_10_centralized": round(ms10, 3),
-                    "ms_250_distributed": round(results[250], 3),
-                    "hz_250_distributed": round(1000.0 / results[250], 2),
-                    "subproblem_iters_100": total_iters[100],
-                    "riccati_block_nnz_per_s": float(f"{block_nnz_per_s:.3e}"),
-                },
+                "vs_baseline": round(base_100_ms / points[100]["ms"], 3),
+                "extra": extra,
             }
         )
     )

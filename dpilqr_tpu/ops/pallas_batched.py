@@ -801,8 +801,11 @@ def _branch_row(fleet: Fleet, mids_s, n_alpha: int, dtype):
     return _tile_C(oh.transpose(2, 1, 0), n_alpha)  # (n_br, C)
 
 
-def pad_batch(cfg: SolverConfig, sub_cost, x0_s, U0_s, mids_s, enabled):
-    """Pad the subproblem axis to the kernel lane-alignment unit.
+def pad_batch(
+    cfg: SolverConfig, sub_cost, x0_s, U0_s, mids_s, enabled, target=None
+):
+    """Pad the subproblem axis to the kernel lane-alignment unit (or to an
+    explicit ``target`` size, itself a multiple of the unit).
 
     Padded subproblems have agent_mask 0 on every slot (fully decoupled:
     identity control Hessian via the padded-slot stabilizer, ops/costs.py)
@@ -811,7 +814,7 @@ def pad_batch(cfg: SolverConfig, sub_cost, x0_s, U0_s, mids_s, enabled):
     """
     S0 = x0_s.shape[0]
     unit = _pad_unit(cfg.n_ls_iter)
-    S = int(-(-S0 // unit) * unit)
+    S = int(-(-S0 // unit) * unit) if target is None else int(target)
     enabled = jnp.asarray(enabled, bool)
     if S == S0:
         return sub_cost, x0_s, U0_s, mids_s, enabled, S0
@@ -980,20 +983,65 @@ def solve_subproblems_batched(
         else a,
         sub_cost,
     )
+
+    S0 = x0_s.shape[0]
+    N = U0_s.shape[1]
+    K, nx_p, nu_p = x0_s.shape[1], fleet.nx_p, fleet.nu_p
+    n_br = int(np.max(fleet.branch_index_array)) + 1 if fleet.n_agents else 1
+    unit = _pad_unit(cfg.n_ls_iter)
+    S_pad = int(-(-S0 // unit) * unit)
+
+    def solve_chunk(cost_c, x0_c, U0_c, mids_c, en_c):
+        c0 = init_batch_carry(
+            fleet, cfg, cost_c, x0_c, U0_c, mids_c, en_c, interpret
+        )
+        return jax.lax.while_loop(
+            lambda c: jnp.any(c.active),
+            lambda c: batched_iteration(
+                fleet, cfg, cost_c, mids_c, x0_c, c, interpret
+            ),
+            c0,
+        )
+
+    if fits_vmem_batched(N, K, nx_p, nu_p, S_pad, cfg.n_ls_iter, n_br):
+        sub_cost, x0_s, U0_s, mids_s, enabled, S0 = pad_batch(
+            cfg, sub_cost, x0_s, U0_s, mids_s, enabled
+        )
+        out = solve_chunk(sub_cost, x0_s, U0_s, mids_s, enabled)
+        return _carry_result(out, S0)
+
+    # Batch too large for one kernel launch: chunk the subproblem axis over
+    # several launches (subproblems are independent) instead of falling off
+    # the kernel path wholesale.  ``lax.map`` compiles the chunk body ONCE
+    # and loops it on device, so the working set stays at one chunk.
+    Sc = chunk_size_batched(cfg, N, K, nx_p, nu_p, n_br)
+    n_chunks = -(-S0 // Sc)
     sub_cost, x0_s, U0_s, mids_s, enabled, S0 = pad_batch(
-        cfg, sub_cost, x0_s, U0_s, mids_s, enabled
+        cfg, sub_cost, x0_s, U0_s, mids_s, enabled, target=n_chunks * Sc
     )
-    c0 = init_batch_carry(
-        fleet, cfg, sub_cost, x0_s, U0_s, mids_s, enabled, interpret
-    )
-    out = jax.lax.while_loop(
-        lambda c: jnp.any(c.active),
-        lambda c: batched_iteration(
-            fleet, cfg, sub_cost, mids_s, x0_s, c, interpret
-        ),
-        c0,
-    )
+
+    def to_chunks(a):
+        return a.reshape(n_chunks, Sc, *a.shape[1:])
+
+    args = jax.tree.map(to_chunks, (sub_cost, x0_s, U0_s, mids_s, enabled))
+    out = jax.lax.map(lambda t: solve_chunk(*t), args)
+    out = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), out)
     return _carry_result(out, S0)
+
+
+def chunk_size_batched(
+    cfg: SolverConfig, N: int, K: int, nx_p: int, nu_p: int, n_br: int
+) -> int:
+    """Largest lane-aligned subproblem-axis chunk that fits the VMEM budget
+    (0 if even one alignment unit does not fit -- callers must use the XLA
+    scan path then)."""
+    unit = _pad_unit(cfg.n_ls_iter)
+    best = 0
+    Sc = unit
+    while fits_vmem_batched(N, K, nx_p, nu_p, Sc, cfg.n_ls_iter, n_br):
+        best = Sc
+        Sc += unit
+    return best
 
 
 def resolve_batched_backend(
@@ -1025,9 +1073,9 @@ def resolve_batched_backend(
     if len({s.rk4_substeps for s in fleet.specs}) != 1:
         return "xla"
     n_br = int(np.max(fleet.branch_index_array)) + 1 if fleet.n_agents else 1
-    S_pad = int(-(-S // _pad_unit(cfg.n_ls_iter)) * _pad_unit(cfg.n_ls_iter))
-    if not fits_vmem_batched(
-        N, K, fleet.nx_p, fleet.nu_p, S_pad, cfg.n_ls_iter, n_br
-    ):
+    # The kernel path chunks oversized batches over multiple launches
+    # (solve_subproblems_batched), so it only needs ONE lane-aligned chunk
+    # to fit the VMEM budget.
+    if chunk_size_batched(cfg, N, K, fleet.nx_p, fleet.nu_p, n_br) == 0:
         return "xla"
     return "pallas"

@@ -98,6 +98,27 @@ class TestInterpretParity:
             np.asarray(rp.X), np.asarray(rx.X), atol=1e-8
         )
 
+    def test_chunked_batch(self, monkeypatch):
+        # Batches too large for one kernel launch split over several
+        # launches (lax.map over the subproblem axis) instead of falling
+        # back to the XLA scans.  Shrink the VMEM predicate so one
+        # alignment unit (64) "fits" but the padded 70-subproblem batch
+        # (128) does not -- forcing a 2-chunk solve -- and require
+        # exact-iteration parity with the unchunked XLA path.
+        from dpilqr_tpu.ops import pallas_batched as pb
+
+        unit = pb._pad_unit(10)
+        monkeypatch.setattr(
+            pb, "fits_vmem_batched", lambda N, K, nx, nu, S, na, nb=1, **kw:
+            S <= unit,
+        )
+        fleet, cost, X0, U0, radius = _problem(70, 5, jnp.float64, seed=5)
+        rx = _run(fleet, cost, X0, U0, radius, 4, "xla", n_iter=3)
+        rp = _run(fleet, cost, X0, U0, radius, 4, "pallas-interpret", n_iter=3)
+        np.testing.assert_array_equal(np.asarray(rx.iters), np.asarray(rp.iters))
+        np.testing.assert_allclose(np.asarray(rp.J), np.asarray(rx.J), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(rp.X), np.asarray(rx.X), atol=1e-8)
+
 
 def _tpu_device():
     for d in jax.devices():

@@ -183,7 +183,16 @@ def main():
         model_o, cost_o, x0o.flatten(), N=N, n_lqr_iter=10, tol=1e-9
     )
     base_per_iter_ms = (time.perf_counter() - t0) * 1e3 / max(base_iters, 1)
-    base_100_ms = base_per_iter_ms * points[100]["iters"]
+    # Calibration from the one-time END-TO-END baseline measurement
+    # (scripts/measure_baseline.py, recorded in BASELINE.md): the real
+    # sequential run over all 100 neighborhood subproblems took 0.455x the
+    # K=8-projection (neighborhoods average ~4.9 agents, not 8).  Scaling
+    # keeps the per-round projection cheap while anchoring it to a measured
+    # run -- and makes the claimed speedup conservative.
+    MEASURED_OVER_PROJECTED = 0.455
+    base_100_ms = (
+        base_per_iter_ms * points[100]["iters"] * MEASURED_OVER_PROJECTED
+    )
 
     # North-star counter: Riccati block-nnz/s of the 100-agent solve
     # (utils/metrics.py): nonzero block entries touched per second by the

@@ -200,19 +200,23 @@ def _scaling_run(args, fleet, devices, n, N):
 
     cfg = dtl.SolverConfig(n_lqr_iter=8, tol=1e-6)
 
-    def timed(mesh):
+    def timed(mesh, reps=7):
         res = dtl.solve_distributed_sharded(
             fleet, cost, x0j, U0, args.radius, mesh=mesh, K=8, config=cfg
         )
         float(res.J)  # compile + hard sync
-        reps = 5
-        t0 = perf_counter()
+        # Best-of-reps: virtual CPU meshes share oversubscribed host cores
+        # with whatever else runs on the box, and per-rep times swing by
+        # tens of percent; the minimum estimates the uncontended time.
+        best = float("inf")
         for _ in range(reps):
+            t0 = perf_counter()
             res = dtl.solve_distributed_sharded(
                 fleet, cost, x0j, U0, args.radius, mesh=mesh, K=8, config=cfg
             )
-        float(res.J)
-        return (perf_counter() - t0) / reps, float(res.J)
+            float(res.J)
+            best = min(best, perf_counter() - t0)
+        return best, float(res.J)
 
     import os
 

@@ -223,6 +223,49 @@ class TestRhc:
         assert res.converged
         assert res.steps[0].graph is not None
 
+    def test_pipeline_commits_exactly_the_executed_steps(self):
+        # The depth-1 pipeline dispatches one step past the stopping point;
+        # the discarded step must never be committed: with t_diverge sized
+        # for exactly k MPC steps, the run records exactly k steps and the
+        # executed trajectory is exactly k * step_size states long.
+        n, dt, N, step_size = 2, 0.1, 10, 2
+        fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)
+        x0 = np.array([[-1.0, 0.2, 0, 0], [1.0, -0.2, 0, 0]])
+        xf = np.array([[1.0, 0.2, 0, 0], [-1.0, -0.2, 0, 0]])
+        cost = _uni_cost(n, xf, radius=0.3)
+        for k in (1, 3):
+            t_diverge = (k - 1) * step_size * dt  # breaks at the k-th step
+            res = dtl.solve_rhc(
+                fleet, cost, x0, N, radius=0.3, centralized=False,
+                step_size=step_size, J_converge=1e-9, t_diverge=t_diverge,
+                rng=np.random.default_rng(0),
+            )
+            assert len(res.steps) == k, (k, len(res.steps))
+            assert res.X.shape[0] == k * step_size
+            assert not res.converged
+
+    def test_pipelined_run_is_deterministic(self):
+        # Same seed => bit-identical executed trajectory, J trace, and
+        # graphs, pipelining notwithstanding.
+        n, dt, N = 2, 0.1, 20
+        fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)
+        x0 = np.array([[-1.0, 0.2, 0, 0], [1.0, -0.2, 0, 0]])
+        xf = np.array([[1.0, 0.2, 0, 0], [-1.0, -0.2, 0, 0]])
+        cost = _uni_cost(n, xf, radius=0.3)
+        runs = [
+            dtl.solve_rhc(
+                fleet, cost, x0, N, radius=0.3, centralized=False,
+                step_size=2, dist_converge=0.1, t_diverge=10.0,
+                rng=np.random.default_rng(7),
+            )
+            for _ in range(2)
+        ]
+        np.testing.assert_array_equal(runs[0].X, runs[1].X)
+        assert [s.J for s in runs[0].steps] == [s.J for s in runs[1].steps]
+        assert [s.graph for s in runs[0].steps] == [
+            s.graph for s in runs[1].steps
+        ]
+
     def test_t_kill_caps_solve_time(self):
         n, dt, N = 2, 0.1, 20
         fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)

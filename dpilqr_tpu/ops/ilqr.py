@@ -539,7 +539,40 @@ def ilqr_solve(
         config,
         sweep_backend=resolve_sweep_backend(config, fleet, U0.shape[0], (x0,)),
     )
-    return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
+    try:
+        return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
+    except Exception as e:  # noqa: BLE001 -- filtered by is_vmem_error
+        if config.sweep_backend not in ("pallas",) or not is_vmem_error(e):
+            raise
+        # The additive VMEM budget (pallas_sweeps.fits_vmem) under-estimated
+        # this shape: fail safe onto the compiler-scheduled path instead of
+        # surfacing a Mosaic OOM ("pscan" is resolve_sweep_backend's own
+        # choice for over-budget problems on TPU).
+        import warnings
+
+        warnings.warn(
+            f"pallas sweep kernels exceeded VMEM for this shape ({e!s:.120}); "
+            "falling back to the pscan backward pass",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        config = dataclasses.replace(config, sweep_backend="pscan")
+        return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
+
+
+def is_vmem_error(e: Exception) -> bool:
+    """Heuristically classify a compile/runtime failure as a TPU memory
+    overflow (Mosaic scoped-VMEM or device OOM)."""
+    import re
+
+    return bool(
+        re.search(
+            r"vmem|scoped\s+memory|ran out of memory|resource[_ ]exhausted"
+            r"|exceeds.*memory|mosaic.*alloc",
+            str(e),
+            re.IGNORECASE,
+        )
+    )
 
 
 def ilqr_solve_steppable(

@@ -210,6 +210,27 @@ def solve_distributed(
             config, fleet, U.shape[0], K, n, (X,)
         ),
     )
-    return _solve_distributed(
-        fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
-    )
+    try:
+        return _solve_distributed(
+            fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
+        )
+    except Exception as e:  # noqa: BLE001 -- filtered by is_vmem_error
+        from ..ops.ilqr import is_vmem_error
+
+        if config.sweep_backend != "pallas" or not is_vmem_error(e):
+            raise
+        # The VMEM budget (fits_vmem_batched) under-estimated this shape:
+        # fail safe onto the vmapped XLA scans instead of surfacing a
+        # Mosaic OOM.
+        import warnings
+
+        warnings.warn(
+            f"batched pallas kernels exceeded VMEM for this shape "
+            f"({e!s:.120}); falling back to the XLA scan path",
+            RuntimeWarning,
+            stacklevel=2,
+        )
+        config = dataclasses.replace(config, sweep_backend="xla")
+        return _solve_distributed(
+            fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
+        )

@@ -98,7 +98,7 @@ def multi_agent_run(
                 model_name, n_agents, i_trial, centralized, True,
                 tf, res.J, N, DT, res.converged, ids,
                 [round(s.solve_time, 4) for s in res.steps[-1:]],
-                [], [round(d, 4) for d in final_dist],
+                [], [round(float(d), 4) for d in final_dist],
             )
         )
         jsonl.write(

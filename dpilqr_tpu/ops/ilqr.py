@@ -535,10 +535,11 @@ def ilqr_solve(
         raise ValueError(f"cost has {cost.xf.shape[0]} agents but fleet has {n}")
     import dataclasses
 
-    config = dataclasses.replace(
-        config,
-        sweep_backend=resolve_sweep_backend(config, fleet, U0.shape[0], (x0,)),
-    )
+    backend = resolve_sweep_backend(config, fleet, U0.shape[0], (x0,))
+    shape_key = (fleet, U0.shape[0], str(x0.dtype), config.n_ls_iter)
+    if backend == "pallas" and shape_key in _VMEM_FALLBACK_CACHE:
+        backend = "pscan"
+    config = dataclasses.replace(config, sweep_backend=backend)
     try:
         return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
     except Exception as e:  # noqa: BLE001 -- filtered by is_vmem_error
@@ -547,7 +548,8 @@ def ilqr_solve(
         # The additive VMEM budget (pallas_sweeps.fits_vmem) under-estimated
         # this shape: fail safe onto the compiler-scheduled path instead of
         # surfacing a Mosaic OOM ("pscan" is resolve_sweep_backend's own
-        # choice for over-budget problems on TPU).
+        # choice for over-budget problems on TPU).  Cache the decision so
+        # later same-shape calls skip the doomed compile.
         import warnings
 
         warnings.warn(
@@ -556,8 +558,13 @@ def ilqr_solve(
             RuntimeWarning,
             stacklevel=2,
         )
+        _VMEM_FALLBACK_CACHE.add(shape_key)
         config = dataclasses.replace(config, sweep_backend="pscan")
         return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
+
+
+# Shapes whose pallas compile failed with a memory error this process.
+_VMEM_FALLBACK_CACHE: set = set()
 
 
 def is_vmem_error(e: Exception) -> bool:

@@ -1015,6 +1015,13 @@ def solve_subproblems_batched(
     # the kernel path wholesale.  ``lax.map`` compiles the chunk body ONCE
     # and loops it on device, so the working set stays at one chunk.
     Sc = chunk_size_batched(cfg, N, K, nx_p, nu_p, n_br)
+    if Sc == 0:
+        raise ValueError(
+            f"batched pallas kernels cannot fit even one {unit}-subproblem "
+            f"chunk of this shape (N={N}, K={K}, nx_p={nx_p}, nu_p={nu_p}) "
+            "in VMEM; use sweep_backend='xla' (the 'auto' resolver does "
+            "this automatically)"
+        )
     n_chunks = -(-S0 // Sc)
     sub_cost, x0_s, U0_s, mids_s, enabled, S0 = pad_batch(
         cfg, sub_cost, x0_s, U0_s, mids_s, enabled, target=n_chunks * Sc
@@ -1073,6 +1080,13 @@ def resolve_batched_backend(
     if len({s.rk4_substeps for s in fleet.specs}) != 1:
         return "xla"
     n_br = int(np.max(fleet.branch_index_array)) + 1 if fleet.n_agents else 1
+    # Program-size envelope: the in-kernel block ops unroll O(K^2 nx^2)
+    # statically, and past nxf = K * nx_p = 32 the TPU compiler reliably
+    # fails on the generated program (measured: K=12 and K=16 at nx_p=4,
+    # N=50 both crash the remote compile helper; K=8/nx=4 and K=4/nx=6 are
+    # verified).  Wider subproblems take the XLA scans.
+    if K * fleet.nx_p > 32:
+        return "xla"
     # The kernel path chunks oversized batches over multiple launches
     # (solve_subproblems_batched), so it only needs ONE lane-aligned chunk
     # to fit the VMEM budget.

@@ -204,12 +204,11 @@ def solve_distributed(
 
     from ..ops.pallas_batched import resolve_batched_backend
 
-    config = dataclasses.replace(
-        config,
-        sweep_backend=resolve_batched_backend(
-            config, fleet, U.shape[0], K, n, (X,)
-        ),
-    )
+    shape_key = (fleet, U.shape[0], K, n, str(X.dtype), config.n_ls_iter)
+    backend = resolve_batched_backend(config, fleet, U.shape[0], K, n, (X,))
+    if backend == "pallas" and shape_key in _VMEM_FALLBACK_CACHE:
+        backend = "xla"
+    config = dataclasses.replace(config, sweep_backend=backend)
     try:
         return _solve_distributed(
             fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
@@ -221,7 +220,8 @@ def solve_distributed(
             raise
         # The VMEM budget (fits_vmem_batched) under-estimated this shape:
         # fail safe onto the vmapped XLA scans instead of surfacing a
-        # Mosaic OOM.
+        # Mosaic OOM.  Cache the decision so later calls with the same
+        # shape skip the doomed compile attempt.
         import warnings
 
         warnings.warn(
@@ -230,7 +230,13 @@ def solve_distributed(
             RuntimeWarning,
             stacklevel=2,
         )
+        _VMEM_FALLBACK_CACHE.add(shape_key)
         config = dataclasses.replace(config, sweep_backend="xla")
         return _solve_distributed(
             fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
         )
+
+
+# Shapes whose pallas compile failed with a memory error this process:
+# resolved straight to the XLA path on subsequent calls.
+_VMEM_FALLBACK_CACHE: set = set()

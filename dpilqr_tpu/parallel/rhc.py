@@ -44,17 +44,22 @@ class RhcStepInfo:
 
     ``graph`` and ``iters`` materialize lazily: in the fast path the loop
     holds only device handles and the host conversion (one batched transfer
-    for ALL steps of the run) happens on first access."""
+    for ALL steps of the run) happens on first access.  The constructor
+    keeps the original dataclass field order ``(t, J, solve_time, graph,
+    iters, distance_left)``; ``to_dict`` and pickling materialize the lazy
+    fields first."""
 
     __slots__ = ("t", "J", "solve_time", "distance_left", "_graph", "_iters",
                  "_resolve")
 
-    def __init__(self, t, J, solve_time, distance_left, graph=None,
-                 iters=None):
+    _FIELDS = ("t", "J", "solve_time", "graph", "iters", "distance_left")
+
+    def __init__(self, t, J, solve_time, graph=None, iters=None,
+                 distance_left=None):
         self.t = t
         self.J = J
         self.solve_time = solve_time
-        self.distance_left = distance_left
+        self.distance_left = [] if distance_left is None else distance_left
         self._graph = graph
         self._iters = [] if iters is None else iters
         self._resolve = None
@@ -70,6 +75,15 @@ class RhcStepInfo:
         if self._resolve is not None:
             self._resolve()
         return self._iters
+
+    def to_dict(self) -> dict:
+        return {k: getattr(self, k) for k in self._FIELDS}
+
+    def __getstate__(self):
+        return self.to_dict()  # materializes; closures never pickle
+
+    def __setstate__(self, state):
+        self.__init__(**state)
 
     def __repr__(self):
         return (
@@ -231,6 +245,7 @@ def solve_rhc(
             membership = None
             iters_dev = jnp.asarray(res.iters)[None]
             kmax_dev = None
+            truncated_dev = None
         else:
             if t_kill is not None:
                 # Deadline-capped batched solve (reference forwards t_kill
@@ -250,7 +265,8 @@ def solve_rhc(
             X_sol, U_sol, J_dev = dres.X, dres.U, dres.J
             membership = dres.membership
             iters_dev = dres.iters
-            kmax_dev = jnp.max(dres.sizes) if K is None else None
+            kmax_dev = jnp.max(dres.sizes)
+            truncated_dev = dres.truncated
 
         xi_n, X_exec, U_exec, X_n, U_n, dists_dev = _advance_shift(
             jnp.asarray(X_sol), jnp.asarray(U_sol), xf_dev, step_size, n_d
@@ -258,27 +274,61 @@ def solve_rhc(
         return {
             "t": t_step, "t0": t0, "J": J_dev, "dists": dists_dev,
             "kmax": kmax_dev, "membership": membership, "iters": iters_dev,
+            "truncated": truncated_dev, "K_used": K_cur,
             "X_exec": X_exec, "U_exec": U_exec, "xi": xi_n,
             "X": X_n, "U": U_n,
+            # Inputs, kept so a truncated step can be re-dispatched with a
+            # wider K from the exact same warm state.
+            "xi_in": xi_cur, "X_in": X_w, "U_in": U_w,
         }
 
     def resolve(rec):
         """Block on the step's loop-control scalars and commit the step.
 
-        Returns (stop, diverged)."""
-        nonlocal K_cur, step_count, converged
+        Returns (stop, diverged, redo); with ``redo`` True nothing was
+        committed and the caller must re-dispatch the same step (wider K).
+        """
+        nonlocal K_cur, step_count, converged, last_resolve_end
         # The ONE host sync of the step: loop-control scalars only.
-        J_h, dists_h, kmax = jax.device_get(
-            (rec["J"], rec["dists"], rec["kmax"])
+        J_h, dists_h, kmax, trunc = jax.device_get(
+            (rec["J"], rec["dists"], rec["kmax"], rec["truncated"])
         )
         J_h = float(J_h)
-        solve_time = perf_counter() - rec["t0"]
+        # Per-step latency as cadence: under pipelining this step was
+        # dispatched while the previous one was still executing, so measure
+        # from the later of its dispatch and the previous resolve.
+        now = perf_counter()
+        solve_time = now - max(rec["t0"], last_resolve_end)
+        last_resolve_end = now
 
-        if kmax is not None:
+        if trunc is not None and bool(trunc):
+            # A neighborhood outgrew the slot count (the reference never
+            # truncates, problem.py:36-47).  Under auto-K, redo this step
+            # with a wider K than THE WIDTH IT USED, from the same warm
+            # state; with a caller-pinned K, warn and proceed (the caller
+            # chose the width).  K_used is None only when the step computed
+            # its width from its own graph (exact fit, cannot truncate).
+            K_used = rec["K_used"]
+            if K is None and K_used is not None and K_used < n:
+                k_need = int(kmax)
+                k_need = 1 << (k_need - 1).bit_length() if k_need > 1 else 1
+                K_cur = min(max(k_need, K_used * 2), n)
+                return False, False, True
+            import warnings
+
+            warnings.warn(
+                f"neighborhood exceeded the subproblem width K={K_used}: "
+                "coupling partners were dropped from some subproblem(s)",
+                RuntimeWarning,
+                stacklevel=3,
+            )
+
+        if K is None and kmax is not None:
             # Grow immediately; shrink with hysteresis (each width change
             # costs one compile, amortized by the cache).  Under pipelining
             # the width update lags one extra step (the next dispatch is
-            # already in flight when this resolves).
+            # already in flight when this resolves); the truncation redo
+            # above catches the rare case where the lag matters.
             k_need = int(kmax)
             k_need = 1 << (k_need - 1).bit_length() if k_need > 1 else 1
             k_need = min(k_need, n)
@@ -330,7 +380,7 @@ def solve_rhc(
             converged = False
             if verbose:
                 print("Failed to converge within allotted time...")
-        return stop(J_h, dists_h), diverged
+        return stop(J_h, dists_h), diverged, False
 
     # Depth-1 pipeline: the next step is dispatched from the device-resident
     # warm start BEFORE the current step's scalars are fetched, so the
@@ -340,6 +390,7 @@ def solve_rhc(
     # t_kill mode steps the solver host-side (parallel/deadline.py), which
     # blocks anyway -- no pipelining there.
     pipeline = t_kill is None
+    last_resolve_end = perf_counter()
     if not stop(J, dists):
         rec = dispatch(t, xi, X, U)
         xi, X, U = rec["xi"], rec["X"], rec["U"]
@@ -349,7 +400,17 @@ def solve_rhc(
             if pipeline and not will_diverge:
                 t_next = rec["t"] + step_size * dt
                 nxt = dispatch(t_next, xi, X, U)
-            stopped, diverged = resolve(rec)
+            stopped, diverged, redo = resolve(rec)
+            if redo:
+                # Truncated neighborhood under auto-K: re-dispatch the SAME
+                # step with the widened K from its original warm state; the
+                # speculative `nxt` (built on the discarded result) is
+                # dropped.
+                rec = dispatch(
+                    rec["t"], rec["xi_in"], rec["X_in"], rec["U_in"]
+                )
+                xi, X, U = rec["xi"], rec["X"], rec["U"]
+                continue
             if stopped or diverged:
                 break  # in-flight `nxt` (if any) is discarded
             if nxt is None:
@@ -380,6 +441,12 @@ def solve_rhc(
 
         for info, _, _ in deferred:
             info._resolve = _resolve_deferred
+
+        # Laziness pins the per-step device arrays (membership is (n, n)
+        # per step) in accelerator memory for the result's lifetime; for
+        # long runs / big fleets resolve now and release them.
+        if len(deferred) * (n * n + n * 4) > 8 << 20:
+            _resolve_deferred()
 
     # Executed trajectory + its joint cost (distributed.py:206-211), fetched
     # in ONE host round trip.

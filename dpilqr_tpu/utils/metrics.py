@@ -104,5 +104,7 @@ class JsonlWriter:
     def write(self, record):
         if hasattr(record, "__dataclass_fields__"):
             record = asdict(record)
+        elif hasattr(record, "to_dict"):
+            record = record.to_dict()
         with self.path.open("a") as f:
             f.write(json.dumps(record) + "\n")

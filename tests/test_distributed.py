@@ -266,6 +266,40 @@ class TestRhc:
             s.graph for s in runs[1].steps
         ]
 
+    def test_auto_k_redo_on_densifying_graph(self):
+        # Agents start in singleton neighborhoods (auto-K resolves to 1)
+        # and converge toward a common region, so the neighborhood size
+        # jumps to 3 mid-run.  Under pipelining the cached width lags; the
+        # truncation-redo path must re-solve those steps with a wider K,
+        # so the auto-K run matches a K=n pinned run (padded-slot
+        # decoupling makes the two solves otherwise identical).
+        n, dt, N = 3, 0.1, 20
+        fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)
+        x0 = np.array(
+            [[-3.0, 0.0, 0, 0], [3.0, 0.0, 0, 0], [0.0, 3.0, 0, 0]]
+        )
+        xf = np.array(
+            [[0.3, 0.0, 0, 0], [-0.3, 0.0, 0, 0], [0.0, -0.3, 0, 0]]
+        )
+        cost = _uni_cost(n, xf, radius=0.4)
+        kwargs = dict(
+            radius=0.4, centralized=False, step_size=2, dist_converge=0.15,
+            t_diverge=12.0,
+        )
+        res_auto = dtl.solve_rhc(
+            fleet, cost, x0, N, K=None, rng=np.random.default_rng(3),
+            **kwargs,
+        )
+        res_full = dtl.solve_rhc(
+            fleet, cost, x0, N, K=n, rng=np.random.default_rng(3), **kwargs
+        )
+        # The run actually exercises width growth (graphs densify).
+        max_nbhd = max(
+            max(len(v) for v in s.graph.values()) for s in res_auto.steps
+        )
+        assert max_nbhd == 3, max_nbhd
+        np.testing.assert_allclose(res_auto.X, res_full.X, atol=1e-10)
+
     def test_t_kill_caps_solve_time(self):
         n, dt, N = 2, 0.1, 20
         fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)

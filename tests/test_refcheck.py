@@ -42,4 +42,6 @@ def test_genuine_reference_parity():
     for name, entry in report["scenarios"].items():
         assert entry["relerr_J_oracle_vs_genuine"] < 1e-7, (name, entry)
         assert entry["relerr_J_framework_vs_genuine"] < 1e-7, (name, entry)
+        assert entry["max_abs_X_oracle_vs_genuine"] < 1e-5, (name, entry)
+        assert entry["max_abs_X_framework_vs_genuine"] < 1e-5, (name, entry)
         assert entry["iters_oracle"] == entry["iters_framework"], (name, entry)

@@ -239,7 +239,12 @@ def main():
             "iters_framework": f["iters"],
         }
         report["scenarios"][name] = entry
-        if dJ_oracle > 1e-7 or dJ_fw > 1e-7 or dX_oracle > 1e-5:
+        if (
+            dJ_oracle > 1e-7
+            or dJ_fw > 1e-7
+            or dX_oracle > 1e-5
+            or dX_fw > 1e-5
+        ):
             ok = False
     report["ok"] = ok
 

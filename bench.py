@@ -119,9 +119,12 @@ def closed_loop_run(n=100, n_steps=20, N=50, dt=0.1, radius=0.5, K=None,
         )
 
     once()  # warm-up / compile
-    t0 = time.perf_counter()
-    res = once()
-    return (time.perf_counter() - t0) / len(res.steps) * 1e3, res
+    best = float("inf")
+    for _ in range(2):  # best-of: the loop shares the host with the tunnel
+        t0 = time.perf_counter()
+        res = once()
+        best = min(best, (time.perf_counter() - t0) / len(res.steps) * 1e3)
+    return best, res
 
 
 def main():
@@ -207,11 +210,22 @@ def main():
             "iters": int(np.asarray(res.iters).sum()),
         }
 
-    # Sustained closed-loop MPC rate at 100 agents: 20 receding-horizon
-    # steps of solve_rhc (graph build, gather, batched solve, owner
-    # extraction, advance, warm-start shift, per-step host sync).
+    # Sustained closed-loop MPC rate: 20 receding-horizon steps of
+    # solve_rhc (graph build, gather, batched solve, owner extraction,
+    # advance, warm-start shift, per-step host sync), honest auto-K.
     ms_mpc_step, _ = closed_loop_run(n=100, n_steps=20, N=N, dt=dt,
-                                     radius=radius, K=K, cfg=cfg)
+                                     radius=radius, cfg=cfg)
+    # 250-agent point pins K=8 (auto-K's width-growth sequence would
+    # compile several kernel widths at fresh shapes, blowing the bench
+    # budget) and asserts the pin was wide enough -- truncation would make
+    # the number meaningless.
+    ms_mpc_step_250, res250 = closed_loop_run(
+        n=250, n_steps=20, N=N, dt=dt, radius=radius, K=8, cfg=cfg
+    )
+    max_nbhd_250 = max(
+        max(len(v) for v in s.graph.values()) for s in res250.steps
+    )
+    assert max_nbhd_250 <= 8, f"250-agent closed loop truncated: {max_nbhd_250}"
 
     # 10-agent centralized (round-1 headline metric, kept for continuity).
     from dpilqr_tpu.ops.ilqr import resolve_sweep_backend
@@ -273,6 +287,8 @@ def main():
     extra = {
         "ms_per_mpc_step_100": round(ms_mpc_step, 3),
         "hz_mpc_100": round(1000.0 / ms_mpc_step, 2),
+        "ms_per_mpc_step_250": round(ms_mpc_step_250, 3),
+        "hz_mpc_250": round(1000.0 / ms_mpc_step_250, 2),
         "ms_10_centralized": round(ms10, 3),
         "backend_10_centralized": backend10,
         "iters_10_centralized": int(np.asarray(res10.iters)),

@@ -114,8 +114,40 @@ class ExperimentRunner:
         N = int(N_MIN + frac * (N_MAX - N_MIN))
         return max(N_MIN, min(N_MAX, int(round(N / 10.0)) * 10))
 
-    def run(self, max_steps=200, verbose=True):
+    def prewarm(self, verbose=True):
+        """Compile every adaptive-horizon bucket's solve BEFORE the
+        real-time loop (a real deployment precompiles; a first-use compile
+        inside the loop would blow the ``t_kill`` deadline by orders of
+        magnitude, especially through a remote-compile tunnel)."""
+        x = self.vehicles.measure()
         n, nu_p = self.fleet.n_agents, self.fleet.nu_p
+        for N in range(N_MIN, N_MAX + 1, 10):
+            t0 = perf_counter()
+            U0 = jnp.zeros((N, n, nu_p))
+            # t_kill small-but-positive: at least one real iteration
+            # must run so the per-iteration program itself compiles.
+            if self.centralized:
+                dtl.ilqr_solve_steppable(
+                    self.fleet, self.cost, jnp.asarray(x), U0=U0,
+                    t_kill=0.05,
+                )
+            else:
+                from dpilqr_tpu.parallel.deadline import (
+                    solve_distributed_steppable,
+                )
+
+                solve_distributed_steppable(
+                    self.fleet, self.cost, jnp.asarray(x)[None], U0, RADIUS,
+                    ignore_mask=self.ignore_mask, t_kill=0.05,
+                    K=self.fleet.n_agents,
+                )
+            if verbose:
+                print(f"prewarm N={N}: {perf_counter() - t0:.1f}s")
+
+    def run(self, max_steps=200, verbose=True, prewarm=True):
+        n, nu_p = self.fleet.n_agents, self.fleet.nu_p
+        if prewarm:
+            self.prewarm(verbose=verbose)
         x = self.vehicles.measure()
         N = self._adapt_horizon(x)
         U = np.asarray(
@@ -144,10 +176,14 @@ class ExperimentRunner:
                     solve_distributed_steppable,
                 )
 
+                # K pinned at fleet size: at experiment scale (4 vehicles)
+                # auto-K width changes would recompile mid-loop and blow
+                # the deadline; truncation is impossible at K=n.
                 dres = solve_distributed_steppable(
                     self.fleet, self.cost,
                     jnp.asarray(x)[None], jnp.asarray(U), RADIUS,
                     ignore_mask=self.ignore_mask, t_kill=t_kill,
+                    K=self.fleet.n_agents,
                 )
                 X_plan, U_plan = np.asarray(dres.X), np.asarray(dres.U)
             solve_t = perf_counter() - t0

@@ -244,6 +244,29 @@ class TestRhc:
             assert res.X.shape[0] == k * step_size
             assert not res.converged
 
+    def test_step_info_serializes(self):
+        # RhcStepInfo materializes its lazy fields for to_dict / pickling
+        # (metrics JsonlWriter and external consumers).
+        import json
+        import pickle
+
+        n, dt, N = 2, 0.1, 10
+        fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)
+        x0 = np.array([[-1.0, 0.2, 0, 0], [1.0, -0.2, 0, 0]])
+        xf = np.array([[1.0, 0.2, 0, 0], [-1.0, -0.2, 0, 0]])
+        cost = _uni_cost(n, xf, radius=0.3)
+        res = dtl.solve_rhc(
+            fleet, cost, x0, N, radius=0.3, centralized=False, step_size=2,
+            J_converge=1e-9, t_diverge=0.4, rng=np.random.default_rng(0),
+        )
+        d = res.steps[0].to_dict()
+        json.dumps(d)  # JSON-serializable
+        assert set(d) == {"t", "J", "solve_time", "graph", "iters",
+                          "distance_left"}
+        back = pickle.loads(pickle.dumps(res.steps))
+        assert back[0].graph == res.steps[0].graph
+        assert back[0].iters == res.steps[0].iters
+
     def test_pipelined_run_is_deterministic(self):
         # Same seed => bit-identical executed trajectory, J trace, and
         # graphs, pipelining notwithstanding.

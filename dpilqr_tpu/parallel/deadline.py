@@ -205,6 +205,24 @@ def solve_distributed_steppable(
     backend = resolve_batched_backend(config, fleet, U.shape[0], K, n, (X,))
     use_pallas = backend in ("pallas", "pallas-interpret")
     interpret = backend == "pallas-interpret"
+    if use_pallas and not interpret:
+        # The host-stepped loop runs the whole padded batch as ONE kernel
+        # launch per iteration (no chunking here, unlike
+        # solve_subproblems_batched), so the FULL batch must fit the VMEM
+        # budget -- the resolver only guarantees one chunk does.
+        from ..ops.pallas_batched import _pad_unit, fits_vmem_batched
+        import numpy as np
+
+        unit = _pad_unit(config.n_ls_iter)
+        S_pad = int(-(-n // unit) * unit)
+        n_br = (
+            int(np.max(fleet.branch_index_array)) + 1 if fleet.n_agents else 1
+        )
+        if not fits_vmem_batched(
+            U.shape[0], K, fleet.nx_p, fleet.nu_p, S_pad,
+            config.n_ls_iter, n_br,
+        ):
+            use_pallas = False
 
     cost_c, membership, batch, sub_cost, x0_s, U_s, mids_s, enabled = _prep(
         fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask

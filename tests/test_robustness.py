@@ -390,3 +390,24 @@ class TestVmemFallback:
             )
         assert calls == ["pallas", "pscan"]
         assert np.isfinite(float(res.J))
+
+
+class TestKernelEnvelope:
+    """resolve_batched_backend routes wide subproblems (K * nx_p > 32,
+    the measured TPU-compiler envelope for the unrolled batched kernels)
+    to the XLA scans up front."""
+
+    def test_wide_k_resolves_to_xla(self, monkeypatch):
+        import jax
+
+        from dpilqr_tpu.ops.pallas_batched import resolve_batched_backend
+
+        monkeypatch.setattr(jax, "default_backend", lambda: "tpu")
+        cfg = SolverConfig(sweep_backend="auto")
+        fleet8 = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, 32, 0.1)
+        assert resolve_batched_backend(cfg, fleet8, 50, 8, 32) == "pallas"
+        assert resolve_batched_backend(cfg, fleet8, 50, 12, 32) == "xla"
+        assert resolve_batched_backend(cfg, fleet8, 50, 16, 32) == "xla"
+        fleet6 = dtl.homogeneous_fleet(dtl.QUAD_6D, 8, 0.1)
+        assert resolve_batched_backend(cfg, fleet6, 20, 4, 8) == "pallas"
+        assert resolve_batched_backend(cfg, fleet6, 20, 8, 8) == "xla"

@@ -48,6 +48,8 @@ __all__ = [
     "RecedingHorizonController",
     "solve_centralized",
     "solve_distributed",
+    "solve_subproblem",
+    "solve_subproblem_starmap",
     "solve_rhc",
     "define_inter_graph_threshold",
     "Point",
@@ -735,6 +737,25 @@ class RecedingHorizonController:
                 break
 
 
+def solve_subproblem(args, **kwargs):
+    """Solve one neighborhood subproblem and extract the owner's slice
+    (reference problem.py:97-105): ``args = (subproblem, x0, U, id_[,
+    verbose])``, returns ``(Xi, Ui, id_)``.  Kept for drop-in callers; the
+    TPU path batches all subproblems into one program instead
+    (parallel/distributed.py)."""
+    subproblem, x0, U, id_, *rest = args
+    verbose = rest[0] if rest else kwargs.pop("verbose", False)
+    solver = ilqrSolver(subproblem, U.shape[0])
+    Xi, Ui, _ = solver.solve(x0, U, verbose=verbose, **kwargs)
+    return (*subproblem.extract(Xi, Ui, id_), id_)
+
+
+def solve_subproblem_starmap(subproblem, x0, U, id_):
+    """Positional-argument wrapper for pool ``starmap`` compatibility
+    (reference problem.py:108-110)."""
+    return solve_subproblem((subproblem, x0, U, id_))
+
+
 # ------------------------------------------------------------------ distributed
 def define_inter_graph_threshold(X, radius, x_dims, ids, n_d: int = 2):
     """Thresholded-distance interaction graph on flat trajectories
@@ -903,19 +924,17 @@ def split_agents_gen(z, z_dims):
 
 def split_graph(Z, z_dims, graph):
     """Group flat columns by interaction-graph membership
-    (reference util.py:102-117)."""
-    assert len(set(z_dims)) == 1
-    mapping = {id_: i for i, id_ in enumerate(list(graph))}
-    n_z = z_dims[0]
-    out = []
-    for ids in graph.values():
-        inds = [mapping[i] for i in ids]
-        out.append(
-            np.concatenate(
-                [Z[:, i * n_z : (i + 1) * n_z] for i in inds], axis=1
-            )
-        )
-    return out
+    (same surface as reference util.py:102-117): one flat array per
+    graph entry, holding that neighborhood's member columns in order."""
+    assert len(set(z_dims)) == 1, "split_graph assumes uniform agent dims"
+    Z = np.atleast_2d(Z)
+    nz = z_dims[0]
+    order = {agent: k for k, agent in enumerate(graph)}
+    blocks = Z.reshape(Z.shape[0], len(z_dims), nz)
+    return [
+        blocks[:, [order[i] for i in ids]].reshape(Z.shape[0], -1)
+        for ids in graph.values()
+    ]
 
 
 def pos_mask(x_dims, n_d=2):
@@ -995,49 +1014,48 @@ def quadraticize_distance(point_a: Point, point_b: Point, radius, n_d):
     return L_x[:n_d], L_xx[:n_d, :n_d]
 
 
+def _fd_jacobian(fun, z, eps):
+    """Forward-difference Jacobian of vector-valued ``fun`` at ``z``:
+    rows index ``fun``'s output, columns the perturbed coordinate."""
+    f0 = np.atleast_1d(np.asarray(fun(z), float))
+    J = np.empty((f0.size, z.size))
+    for j in range(z.size):
+        zp = z.copy()
+        zp[j] += eps
+        J[:, j] = (np.atleast_1d(np.asarray(fun(zp), float)) - f0) / eps
+    return J
+
+
 def quadraticize_finite_difference(cost, x, u, terminal=False, jac_eps=None):
-    """Finite-difference quadraticization (reference cost.py:318-349);
-    kept as the model-agnostic derivative check for custom Cost objects."""
-    from scipy.optimize import approx_fprime
+    """Finite-difference quadraticization (same surface as reference
+    cost.py:318-349); the model-agnostic derivative check for custom Cost
+    objects.  Gradients use step ``jac_eps`` (default sqrt(machine eps));
+    Hessians difference those gradients with step ``sqrt(jac_eps)``."""
+    x = np.asarray(x, float).ravel()
+    u = np.asarray(u, float).ravel()
+    eps = jac_eps if jac_eps else np.sqrt(np.finfo(float).eps)
+    heps = np.sqrt(eps)
 
-    x = np.asarray(x, float).flatten()
-    u = np.asarray(u, float).flatten()
-    if not jac_eps:
-        jac_eps = np.sqrt(np.finfo(float).eps)
-    hess_eps = np.sqrt(jac_eps)
-    n_x, n_u = x.shape[0], u.shape[0]
+    def grad_x(x_, u_):
+        return _fd_jacobian(lambda z: cost(z, u_, terminal), x_, eps)[0]
 
-    def Lx(x_, u_):
-        return approx_fprime(x_, lambda xx: cost(xx, u_, terminal), jac_eps)
+    def grad_u(x_, u_):
+        return _fd_jacobian(lambda z: cost(x_, z, terminal), u_, eps)[0]
 
-    def Lu(x_, u_):
-        return approx_fprime(u_, lambda uu: cost(x_, uu, terminal), jac_eps)
-
-    L_xx = np.vstack(
-        [approx_fprime(x, lambda xx: Lx(xx, u)[i], hess_eps) for i in range(n_x)]
-    )
-    L_uu = np.vstack(
-        [approx_fprime(u, lambda uu: Lu(x, uu)[i], hess_eps) for i in range(n_u)]
-    )
-    L_ux = np.vstack(
-        [approx_fprime(x, lambda xx: Lu(xx, u)[i], hess_eps) for i in range(n_u)]
-    )
-    return Lx(x, u), Lu(x, u), L_xx, L_uu, L_ux
+    L_xx = _fd_jacobian(lambda z: grad_x(z, u), x, heps)
+    L_uu = _fd_jacobian(lambda z: grad_u(x, z), u, heps)
+    L_ux = _fd_jacobian(lambda z: grad_u(z, u), x, heps)
+    return grad_x(x, u), grad_u(x, u), L_xx, L_uu, L_ux
 
 
 def linearize_finite_difference(f_, x, u):
-    """Finite-difference dynamics linearization (reference dynamics.py:281-290)."""
-    from scipy.optimize import approx_fprime
-
-    x = np.asarray(x, float).flatten()
-    u = np.asarray(u, float).flatten()
-    jac_eps = np.sqrt(np.finfo(float).eps)
-    A = np.vstack(
-        [approx_fprime(x, lambda xx: f_(xx, u)[i], jac_eps) for i in range(x.size)]
-    )
-    B = np.vstack(
-        [approx_fprime(u, lambda uu: f_(x, uu)[i], jac_eps) for i in range(x.size)]
-    )
+    """Finite-difference dynamics linearization (same surface as reference
+    dynamics.py:281-290): continuous-time Jacobians A = df/dx, B = df/du."""
+    x = np.asarray(x, float).ravel()
+    u = np.asarray(u, float).ravel()
+    eps = np.sqrt(np.finfo(float).eps)
+    A = _fd_jacobian(lambda z: f_(z, u), x, eps)
+    B = _fd_jacobian(lambda z: f_(x, z), u, eps)
     return A, B
 
 

@@ -63,5 +63,14 @@ class SolverConfig:
     # VMEM).  Resolved by the solver entry points before tracing.
     sweep_backend: str = "auto"
 
+    # Conditioning guard (default off = exact reference behavior).  The
+    # reference zeroes mu once it decays past MU_MIN (control.py:236), so a
+    # deep proximity penetration can drive the unregularized Q_uu solve to
+    # cond ~1e13, past which ANY two implementations diverge macroscopically
+    # (BASELINE.md caveat).  With this flag mu is floored at ``mu_min``
+    # instead of snapping to 0, bounding kappa(Q_uu) without measurably
+    # changing well-conditioned solves.
+    mu_floor: bool = False
+
 
 DEFAULT_CONFIG = SolverConfig()

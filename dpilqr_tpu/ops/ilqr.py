@@ -275,6 +275,24 @@ def _backward_pass(lin_fn, cost: GameCost, X, U, mu):
     return K, d
 
 
+KNOWN_SWEEP_BACKENDS = ("auto", "pallas", "pallas-interpret", "xla", "pscan")
+
+
+def env_sweep_backend() -> str | None:
+    """The validated ``DPILQR_SWEEP_BACKEND`` override (None if unset or
+    "auto"); a typo'd value raises here instead of surfacing as an
+    unrelated downstream dispatch error."""
+    import os
+
+    env = os.environ.get("DPILQR_SWEEP_BACKEND")
+    if env and env not in KNOWN_SWEEP_BACKENDS:
+        raise ValueError(
+            f"DPILQR_SWEEP_BACKEND={env!r} is not one of "
+            f"{KNOWN_SWEEP_BACKENDS}"
+        )
+    return env if env and env != "auto" else None
+
+
 def resolve_sweep_backend(cfg: SolverConfig, fleet, N: int, arrays=()) -> str:
     """Resolve ``cfg.sweep_backend`` ("auto") to "pallas" or "xla".
 
@@ -282,9 +300,7 @@ def resolve_sweep_backend(cfg: SolverConfig, fleet, N: int, arrays=()) -> str:
     default backend), uniform RK4 substeps across the fleet, and the sweep
     working set fitting VMEM.
     """
-    import os
-
-    env = os.environ.get("DPILQR_SWEEP_BACKEND")
+    env = env_sweep_backend()
     if env:
         return env
     if cfg.sweep_backend != "auto":
@@ -378,9 +394,12 @@ def make_iteration_fn(
         )
 
         # Decrease regularization on acceptance (reference control.py:232-237).
+        # With cfg.mu_floor, mu bottoms out at mu_min instead of snapping to
+        # 0 (conditioning guard; see SolverConfig.mu_floor).
         delta_dec = jnp.minimum(1.0, c.delta) / cfg.delta_0
         mu_dec = c.mu * delta_dec
-        mu_dec = jnp.where(mu_dec <= cfg.mu_min, 0.0, mu_dec)
+        mu_lo = cfg.mu_min if cfg.mu_floor else 0.0
+        mu_dec = jnp.where(mu_dec <= cfg.mu_min, mu_lo, mu_dec)
         if cfg.on_failed_ls == "increase":
             # The reference's (dead) regularization-increase path
             # (control.py:198-208): raise mu, keep iterating, abort at

@@ -918,10 +918,13 @@ def batched_iteration(
     converged_now = upd & (rel < cfg.tol)
     failed_now = c.active & ~accept
 
-    # Regularization decrease on acceptance (control.py:232-237).
+    # Regularization decrease on acceptance (control.py:232-237); with
+    # cfg.mu_floor, mu bottoms out at mu_min instead of snapping to 0
+    # (conditioning guard; see SolverConfig.mu_floor).
     delta_dec = jnp.minimum(1.0, c.delta) / cfg.delta_0
     mu_dec = c.mu * delta_dec
-    mu_dec = jnp.where(mu_dec <= cfg.mu_min, 0.0, mu_dec)
+    mu_lo = cfg.mu_min if cfg.mu_floor else 0.0
+    mu_dec = jnp.where(mu_dec <= cfg.mu_min, mu_lo, mu_dec)
     if cfg.on_failed_ls == "increase":
         # The reference's (dead) mu-increase path (control.py:198-208),
         # per subproblem: keep iterating on failure, abort at mu_max.
@@ -954,6 +957,22 @@ def _carry_result(out: _BatchCarry, S0: int) -> SolveResult:
     )
 
 
+def _next_width(w: int, unit: int) -> int:
+    """Next (smaller) compaction width: roughly half, kept lane-aligned.
+    Returns ``w`` itself when no smaller aligned width exists."""
+    nw = -(-(w // 2) // unit) * unit
+    return nw if 0 < nw < w else w
+
+
+def compaction_widths(S: int, unit: int) -> list[int]:
+    """The halving width schedule ``[S, ~S/2, ..., unit]`` used by the
+    staged solve (exposed for tests / SOL accounting)."""
+    widths = [S]
+    while (nw := _next_width(widths[-1], unit)) != widths[-1]:
+        widths.append(nw)
+    return widths
+
+
 def solve_subproblems_batched(
     fleet: Fleet,
     cfg: SolverConfig,
@@ -972,6 +991,16 @@ def solve_subproblems_batched(
     control.py:150-226), applied elementwise over subproblems with masked
     freezing -- identical results to the per-problem while_loop
     (tests/test_pallas_batched.py asserts parity).
+
+    Converged/failed subproblems RETIRE: whenever the number of still-active
+    subproblems fits a smaller lane-aligned batch, the actives are compacted
+    (device-side stable gather, no host sync) into that width and iteration
+    continues there, so late iterations pay kernel cost proportional to the
+    active count instead of the full batch -- the batched equivalent of the
+    reference's sequential loop spending on each subproblem only the
+    iterations *it* needs (dpilqr/distributed.py:56-77).  Each subproblem's
+    iteration sequence is lane-independent, so results are bit-identical to
+    the lockstep loop (tests/test_pallas_batched.py::test_staged_compaction).
 
     ``x0_s (S, K, nx_p)``, ``U0_s (S, N, K, nu_p)``, ``mids_s (S, K)``
     int32 branch indices, ``enabled (S,)`` bool.
@@ -992,16 +1021,44 @@ def solve_subproblems_batched(
     S_pad = int(-(-S0 // unit) * unit)
 
     def solve_chunk(cost_c, x0_c, U0_c, mids_c, en_c):
-        c0 = init_batch_carry(
+        S = x0_c.shape[0]
+        c = init_batch_carry(
             fleet, cfg, cost_c, x0_c, U0_c, mids_c, en_c, interpret
         )
-        return jax.lax.while_loop(
-            lambda c: jnp.any(c.active),
-            lambda c: batched_iteration(
-                fleet, cfg, cost_c, mids_c, x0_c, c, interpret
-            ),
-            c0,
-        )
+        out = c
+        idx_map = jnp.arange(S, dtype=jnp.int32)
+        data = (cost_c, mids_c, x0_c)
+        w = S
+        while True:
+
+            def body(ci, data=data):
+                return batched_iteration(
+                    fleet, cfg, data[0], data[1], data[2], ci, interpret
+                )
+
+            nw = _next_width(w, unit)
+            if nw == w:
+                c = jax.lax.while_loop(lambda ci: jnp.any(ci.active), body, c)
+                out = jax.tree.map(
+                    lambda o, s: o.at[idx_map].set(s), out, c
+                )
+                break
+            # Iterate at this width only while the active set does not fit
+            # the next width; then retire finished lanes and shrink.
+            c = jax.lax.while_loop(
+                lambda ci: jnp.any(ci.active)
+                & (jnp.sum(ci.active) > nw),
+                body,
+                c,
+            )
+            out = jax.tree.map(lambda o, s: o.at[idx_map].set(s), out, c)
+            # Stable active-first permutation; take the first nw lanes.
+            perm = jnp.argsort(~c.active)[:nw]
+            c = jax.tree.map(lambda a: a[perm], c)
+            data = jax.tree.map(lambda a: a[perm], data)
+            idx_map = idx_map[perm]
+            w = nw
+        return out
 
     if fits_vmem_batched(N, K, nx_p, nu_p, S_pad, cfg.n_ls_iter, n_br):
         sub_cost, x0_s, U0_s, mids_s, enabled, S0 = pad_batch(
@@ -1055,9 +1112,9 @@ def resolve_batched_backend(
     cfg: SolverConfig, fleet: Fleet, N: int, K: int, S: int, arrays=()
 ) -> str:
     """Resolve ``cfg.sweep_backend`` for the batched subproblem solve."""
-    import os
+    from .ilqr import env_sweep_backend
 
-    env = os.environ.get("DPILQR_SWEEP_BACKEND")
+    env = env_sweep_backend()
     if env:
         return env
     if cfg.sweep_backend != "auto":

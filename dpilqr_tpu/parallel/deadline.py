@@ -228,6 +228,9 @@ def solve_distributed_steppable(
         fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
     )
 
+    from ..ops.pallas_batched import _pad_unit as _unit_fn
+    from ..ops.pallas_batched import compaction_widths
+
     if use_pallas:
         sub_cost_p, x0_p, U_p, mids_p, enabled_p, S0 = pad_batch(
             config, sub_cost, x0_s, U_s, mids_s, enabled
@@ -235,25 +238,47 @@ def solve_distributed_steppable(
         carry = _init_pallas(
             fleet, config, interpret, sub_cost_p, x0_p, U_p, mids_p, enabled_p
         )
-        step = lambda c: _iterate_pallas(
-            fleet, config, interpret, sub_cost_p, mids_p, x0_p, c
+        data = (sub_cost_p, mids_p, x0_p)
+        step = lambda d, c: _iterate_pallas(
+            fleet, config, interpret, d[0], d[1], d[2], c
         )
     else:
         S0 = x0_s.shape[0]
         carry = _init_xla(fleet, config, sub_cost, x0_s, U_s, mids_s, enabled)
-        step = lambda c: _iterate_xla(fleet, config, sub_cost, mids_s, c)
+        data = (sub_cost, mids_s, x0_s)
+        step = lambda d, c: _iterate_xla(fleet, config, d[0], d[1], c)
 
+    # Host-stepped loop with converged-subproblem retirement: the per-
+    # iteration host sync that paces the deadline fetches the ACTIVE COUNT
+    # (same single round trip as the old any() check); whenever the actives
+    # fit a smaller lane-aligned batch, finished lanes are committed to the
+    # full-width result and iteration continues on the compacted batch --
+    # matching the staged compaction of solve_subproblems_batched.
+    unit = _unit_fn(config.n_ls_iter)
+    widths = compaction_widths(carry.active.shape[0], unit)
+    wi = 0
+    out = carry
+    idx_map = jnp.arange(carry.active.shape[0], dtype=jnp.int32)
     for it in range(config.n_lqr_iter):
-        if not bool(jnp.any(carry.active)):  # host sync paces the deadline
+        n_active = int(jnp.sum(carry.active))  # host sync paces the deadline
+        if n_active == 0:
             break
         if t_kill is not None and perf_counter() - t0 > t_kill:
             if verbose:
                 print(f"t_kill reached after {it} iterations")
             break
-        carry = step(carry)
+        while wi + 1 < len(widths) and n_active <= widths[wi + 1]:
+            out = jax.tree.map(lambda o, s: o.at[idx_map].set(s), out, carry)
+            wi += 1
+            perm = jnp.argsort(~carry.active)[: widths[wi]]
+            carry = jax.tree.map(lambda a: a[perm], carry)
+            data = jax.tree.map(lambda a: a[perm], data)
+            idx_map = idx_map[perm]
+        carry = step(data, carry)
+    out = jax.tree.map(lambda o, s: o.at[idx_map].set(s), out, carry)
 
     return _finish(
         fleet, cost_c, membership, batch,
-        carry.X[:S0], carry.U[:S0], carry.J[:S0], carry.i[:S0],
-        carry.converged[:S0], X[0], ignore_mask,
+        out.X[:S0], out.U[:S0], out.J[:S0], out.i[:S0],
+        out.converged[:S0], X[0], ignore_mask,
     )

@@ -348,3 +348,38 @@ def test_solve_distributed_facade_t_kill():
     Xn, Un, Jn, _ = api.solve_distributed(prob, X0, U0, 0.5)
     assert np.isclose(J2, Jn)
     assert np.allclose(X2, Xn)
+
+
+def test_solve_subproblem_facade():
+    """solve_subproblem / solve_subproblem_starmap (reference
+    problem.py:97-110): solve one neighborhood subproblem and extract the
+    owner's slice."""
+    dt, N, radius = 0.1, 10, 0.5
+    ids = [100, 101, 102]
+    dynamics = api.MultiDynamicalModel(
+        [api.DoubleIntDynamics4D(dt, id_) for id_ in ids]
+    )
+    x0 = np.array([-1.0, 0.1, 0, 0, 1.0, -0.1, 0, 0, 0.0, 3.0, 0, 0])
+    xf = np.array([1.0, 0.1, 0, 0, -1.0, -0.1, 0, 0, 0.0, -3.0, 0, 0])
+    rcs = [
+        api.ReferenceCost(xf[4 * i : 4 * (i + 1)], np.eye(4), np.eye(2),
+                          100 * np.eye(4), id_)
+        for i, id_ in enumerate(ids)
+    ]
+    game = api.GameCost(rcs, api.ProximityCost([4] * 3, radius, [2] * 3))
+    prob = api.ilqrProblem(dynamics, game)
+
+    # Neighborhood of agents 100+101; agent 102 is solo elsewhere.
+    graph = {100: [100, 101], 101: [100, 101]}
+    sub = prob.split(graph)[0]
+    x0_sub = x0[:8]
+    U = np.zeros((N, 4))
+    Xi, Ui, id_ = api.solve_subproblem((sub, x0_sub, U, 100, False))
+    assert id_ == 100
+    assert Xi.shape == (N + 1, 4) and Ui.shape == (N, 2)
+    assert np.isfinite(Xi).all()
+    # starmap wrapper: same result through the positional-args surface.
+    Xi2, Ui2, id2 = api.solve_subproblem_starmap(sub, x0_sub, U, 100)
+    assert id2 == 100
+    np.testing.assert_allclose(Xi2, Xi, atol=1e-10)
+    np.testing.assert_allclose(Ui2, Ui, atol=1e-10)

@@ -98,6 +98,29 @@ class TestInterpretParity:
             np.asarray(rp.X), np.asarray(rx.X), atol=1e-8
         )
 
+    def test_staged_compaction(self):
+        # 70 subproblems pad to 128 = a two-stage width schedule (128 -> 64):
+        # once <= 64 subproblems remain active the batch compacts (finished
+        # lanes retire) and late iterations run at half width.  A lane's
+        # position cannot affect its subproblem's iteration sequence, so
+        # results must match the lockstep XLA path exactly.
+        from dpilqr_tpu.ops.pallas_batched import _pad_unit, compaction_widths
+
+        assert compaction_widths(128, _pad_unit(10)) == [128, 64]
+        assert compaction_widths(512, 64) == [512, 256, 128, 64]
+        assert compaction_widths(192, 64) == [192, 128, 64]
+        assert compaction_widths(64, 64) == [64]
+        fleet, cost, X0, U0, radius = _problem(70, 5, jnp.float64, seed=7)
+        rx = _run(fleet, cost, X0, U0, radius, 4, "xla", n_iter=8)
+        rp = _run(fleet, cost, X0, U0, radius, 4, "pallas-interpret", n_iter=8)
+        iters = np.asarray(rx.iters)
+        # Precondition: convergence times spread, so a compaction boundary
+        # is actually crossed while some subproblems remain active.
+        assert iters.max() > iters.min(), iters
+        np.testing.assert_array_equal(iters, np.asarray(rp.iters))
+        np.testing.assert_allclose(np.asarray(rp.J), np.asarray(rx.J), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(rp.X), np.asarray(rx.X), atol=1e-8)
+
     def test_chunked_batch(self, monkeypatch):
         # Batches too large for one kernel launch split over several
         # launches (lax.map over the subproblem axis) instead of falling

@@ -411,3 +411,108 @@ class TestKernelEnvelope:
         fleet6 = dtl.homogeneous_fleet(dtl.QUAD_6D, 8, 0.1)
         assert resolve_batched_backend(cfg, fleet6, 20, 4, 8) == "pallas"
         assert resolve_batched_backend(cfg, fleet6, 20, 8, 8) == "xla"
+
+
+class TestMuFloor:
+    """SolverConfig.mu_floor (conditioning guard): mu bottoms out at mu_min
+    instead of the reference's snap-to-zero (control.py:236), bounding
+    kappa(Q_uu) on adversarial deep-penetration scenarios (BASELINE.md
+    caveat) without changing well-conditioned solves materially."""
+
+    def _deep_penetration(self):
+        # All three agents parked deep inside one another's proximity
+        # radius: the zero-control warm start makes the 200x-weighted
+        # indefinite pair Hessian drive the unregularized Q_uu solve to
+        # cond ~1e13 (BASELINE.md).
+        n, dt = 3, 0.1
+        fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, dt)
+        x0 = np.array(
+            [[0.0, 0.0, 0.0, 0.0],
+             [0.05, 0.02, 0.0, 2.0],
+             [-0.03, 0.06, 0.0, 4.0]]
+        )
+        xf = np.array(
+            [[2.0, 0.0, 0.0, 0.0],
+             [-2.0, 1.0, 0.0, 2.0],
+             [0.0, -2.0, 0.0, 4.0]]
+        )
+        cost = _costs.make_game_cost(
+            jnp.asarray(xf),
+            np.tile(np.eye(4), (n, 1, 1)),
+            np.tile(np.eye(2), (n, 1, 1)),
+            np.tile(1e3 * np.eye(4), (n, 1, 1)),
+            radius=2.0,
+        )
+        return fleet, cost, jnp.asarray(x0)
+
+    def test_deep_penetration_converges_deterministically(self):
+        fleet, cost, x0 = self._deep_penetration()
+        cfg = SolverConfig(n_lqr_iter=50, tol=1e-3, mu_floor=True)
+        res1 = dtl.ilqr_solve(fleet, cost, x0, N=30, config=cfg)
+        res2 = dtl.ilqr_solve(fleet, cost, x0, N=30, config=cfg)
+        assert np.isfinite(float(res1.J))
+        assert bool(res1.converged), (int(res1.iters), float(res1.J))
+        np.testing.assert_array_equal(np.asarray(res1.X), np.asarray(res2.X))
+        np.testing.assert_array_equal(np.asarray(res1.U), np.asarray(res2.U))
+
+    def test_well_conditioned_solves_unchanged(self):
+        # Away from the conditioning cliff the floor changes mu only after
+        # it would have snapped to zero; trajectories stay equivalent.
+        rng = np.random.default_rng(2)
+        x0, xf = dtl.random_setup(4, 4, rng=rng, energy=5.0, n_d=2)
+        fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, 4, 0.1)
+        cost = _costs.make_game_cost(
+            jnp.asarray(xf),
+            np.tile(np.eye(4), (4, 1, 1)),
+            np.tile(np.eye(2), (4, 1, 1)),
+            np.tile(1e3 * np.eye(4), (4, 1, 1)),
+            radius=0.5,
+        )
+        base = dtl.ilqr_solve(
+            fleet, cost, jnp.asarray(x0), N=25,
+            config=SolverConfig(n_lqr_iter=25, tol=1e-6),
+        )
+        guarded = dtl.ilqr_solve(
+            fleet, cost, jnp.asarray(x0), N=25,
+            config=SolverConfig(n_lqr_iter=25, tol=1e-6, mu_floor=True),
+        )
+        np.testing.assert_allclose(
+            float(guarded.J), float(base.J), rtol=1e-6
+        )
+        np.testing.assert_allclose(
+            np.asarray(guarded.X), np.asarray(base.X), atol=1e-5
+        )
+
+
+class TestEnvBackendValidation:
+    """DPILQR_SWEEP_BACKEND is validated against the known backend set; a
+    typo raises immediately instead of surfacing downstream."""
+
+    def test_typo_raises(self, monkeypatch):
+        from dpilqr_tpu.ops.ilqr import env_sweep_backend
+
+        monkeypatch.setenv("DPILQR_SWEEP_BACKEND", "palas")
+        with pytest.raises(ValueError, match="DPILQR_SWEEP_BACKEND"):
+            env_sweep_backend()
+
+    def test_valid_values(self, monkeypatch):
+        from dpilqr_tpu.ops.ilqr import env_sweep_backend
+
+        monkeypatch.setenv("DPILQR_SWEEP_BACKEND", "xla")
+        assert env_sweep_backend() == "xla"
+        monkeypatch.setenv("DPILQR_SWEEP_BACKEND", "auto")
+        assert env_sweep_backend() is None
+        monkeypatch.delenv("DPILQR_SWEEP_BACKEND")
+        assert env_sweep_backend() is None
+
+    def test_resolvers_reject_typo(self, monkeypatch):
+        from dpilqr_tpu.ops.ilqr import resolve_sweep_backend
+        from dpilqr_tpu.ops.pallas_batched import resolve_batched_backend
+
+        monkeypatch.setenv("DPILQR_SWEEP_BACKEND", "cuda")
+        fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, 4, 0.1)
+        cfg = SolverConfig()
+        with pytest.raises(ValueError, match="DPILQR_SWEEP_BACKEND"):
+            resolve_sweep_backend(cfg, fleet, 10)
+        with pytest.raises(ValueError, match="DPILQR_SWEEP_BACKEND"):
+            resolve_batched_backend(cfg, fleet, 10, 4, 4)

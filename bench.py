@@ -127,6 +127,241 @@ def closed_loop_run(n=100, n_steps=20, N=50, dt=0.1, radius=0.5, K=None,
     return best, res
 
 
+def _grid3d_scenario(n, spacing=1.25, nx=6, seed=0):
+    """3D constant-density scenario with local crossings for the quad
+    models: agents sit on a jittered 3D grid and swap with their lateral
+    neighbor (same regime as _swap_scenario, one layer axis added)."""
+    rng = np.random.default_rng(seed)
+    side = int(np.ceil(n ** (1.0 / 3.0)))
+    ii, jj, kk = np.meshgrid(
+        np.arange(side), np.arange(side), np.arange(side), indexing="ij"
+    )
+    pts = np.stack([ii, jj, kk], -1).reshape(-1, 3)[:n] * spacing
+    pts = pts + rng.uniform(-0.05, 0.05, pts.shape)
+    col = np.arange(n) % side
+    partner = np.where(
+        (col % 2 == 0) & (col + 1 < side),
+        np.arange(n) + 1,
+        np.where(col % 2 == 1, np.arange(n) - 1, np.arange(n)),
+    )
+    goals = pts[partner] + rng.uniform(-0.05, 0.05, pts.shape)
+    x0 = np.zeros((n, nx))
+    x0[:, :3] = pts
+    xf = np.zeros((n, nx))
+    xf[:, :3] = goals
+    return x0, xf
+
+
+def _distributed_point(dtl, fleet, cost, x0, N, radius, K, cfg, time_solve,
+                       reps=10):
+    """Measure one distributed solve config; returns (ms, backend, iters,
+    truncated)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from dpilqr_tpu.ops.pallas_batched import resolve_batched_backend
+    from dpilqr_tpu.parallel.distributed import _solve_distributed
+
+    n, nx = x0.shape
+    dtype = jnp.float32
+    x0j = jnp.asarray(x0, dtype)
+    X0 = jnp.broadcast_to(x0j[None], (N + 1, n, nx))
+    U0 = jnp.zeros((N, n, fleet.nu_p), dtype)
+    rad = jnp.asarray(radius, dtype)
+    ign = jnp.zeros((n,), bool)
+    backend = resolve_batched_backend(cfg, fleet, N, K, n, (X0,))
+    cfg_n = dataclasses.replace(cfg, sweep_backend=backend)
+    ms, res = time_solve(
+        lambda: _solve_distributed(
+            fleet, cfg_n, K, None, cost, X0, U0, rad, ign
+        ),
+        reps=reps,
+    )
+    return ms, backend, int(np.asarray(res.iters).sum()), bool(res.truncated)
+
+
+def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
+    """BASELINE.json configs 3 + 5: the heterogeneous
+    DoubleInt4D+Car3D+Bike5D fleet and the quadcopter swarm
+    (Quad6D at 64 agents = config 5's nearest runnable single-chip form,
+    plus a Quad12D point).  Each reports its RESOLVED backend: mixed RK4
+    substeps (Bike5D uses 1, the rest 5) force the hetero fleet onto the
+    vmapped XLA path; the quad points ride the tiled batched kernels."""
+    import jax.numpy as jnp
+
+    dtype = jnp.float32
+    out = {}
+
+    # Config 5: Quad6D swarm, 3D local-crossing scenario.
+    n = 64
+    x0q, xfq = _grid3d_scenario(n, nx=6)
+    fleetq = dtl.homogeneous_fleet(dtl.QUAD_6D, n, dt)
+    costq = dtl.make_game_cost(
+        jnp.asarray(xfq, dtype),
+        jnp.asarray(np.tile(np.eye(6), (n, 1, 1)), dtype),
+        jnp.asarray(np.tile(np.eye(3), (n, 1, 1)), dtype),
+        jnp.asarray(np.tile(1e3 * np.eye(6), (n, 1, 1)), dtype),
+        radius=radius,
+        n_pos=np.full((n,), 3, np.int32),
+    )
+    ms, backend, iters, trunc = _distributed_point(
+        dtl, fleetq, costq, x0q, N, radius, 8, cfg, time_solve
+    )
+    assert not trunc, "quad6d_64 truncated"
+    out.update({
+        "ms_quad6d_64_distributed": round(ms, 3),
+        "hz_quad6d_64_distributed": round(1000.0 / ms, 2),
+        "backend_quad6d_64": backend,
+        "iters_quad6d_64": iters,
+    })
+
+    # Quad12D point (config 5's full-state model).
+    n = 16
+    x0q, xfq = _grid3d_scenario(n, nx=12)
+    fleetq = dtl.homogeneous_fleet(dtl.QUAD_12D, n, dt)
+    costq = dtl.make_game_cost(
+        jnp.asarray(xfq, dtype),
+        jnp.asarray(np.tile(np.eye(12), (n, 1, 1)), dtype),
+        jnp.asarray(np.tile(np.eye(4), (n, 1, 1)), dtype),
+        jnp.asarray(np.tile(1e3 * np.eye(12), (n, 1, 1)), dtype),
+        radius=radius,
+        n_pos=np.full((n,), 3, np.int32),
+    )
+    ms, backend, iters, trunc = _distributed_point(
+        dtl, fleetq, costq, x0q, N, radius, 4, cfg, time_solve
+    )
+    assert not trunc, "quad12d_16 truncated"
+    out.update({
+        "ms_quad12d_16_distributed": round(ms, 3),
+        "hz_quad12d_16_distributed": round(1000.0 / ms, 2),
+        "backend_quad12d_16": backend,
+        "iters_quad12d_16": iters,
+    })
+
+    # Config 3: heterogeneous DoubleInt4D + Car3D + Bike5D fleet (zero-
+    # padded states).  Bike5D's rk4_substeps=1 vs 5 elsewhere makes the
+    # batched kernels inapplicable -- the honest number is the XLA path's.
+    n = 99
+    x0h, xfh = _swap_scenario(n, spacing=1.25)
+    models = [dtl.DOUBLE_INT_4D, dtl.CAR_3D, dtl.BIKE_5D] * (n // 3)
+    fleeth = dtl.Fleet(tuple(models), dt)
+    nx_p = fleeth.nx_p
+    x0p = np.zeros((n, nx_p))
+    x0p[:, :2] = x0h[:, :2]
+    xfp = np.zeros((n, nx_p))
+    xfp[:, :2] = xf_cols = xfh[:, :2]
+    costh = dtl.make_game_cost(
+        jnp.asarray(xfp, dtype),
+        jnp.asarray(np.tile(np.eye(nx_p), (n, 1, 1)), dtype),
+        jnp.asarray(np.tile(np.eye(fleeth.nu_p), (n, 1, 1)), dtype),
+        jnp.asarray(np.tile(1e3 * np.eye(nx_p), (n, 1, 1)), dtype),
+        radius=radius,
+    )
+    ms, backend, iters, trunc = _distributed_point(
+        dtl, fleeth, costh, x0p, N, radius, 8, cfg, time_solve
+    )
+    assert not trunc, "hetero_99 truncated"
+    out.update({
+        "ms_hetero_99_distributed": round(ms, 3),
+        "hz_hetero_99_distributed": round(1000.0 / ms, 2),
+        "backend_hetero_99": backend,
+        "iters_hetero_99": iters,
+    })
+    return out
+
+
+def _sol_extras(dtl, cfg, N, dt, radius):
+    """Speed-of-light accounting (BASELINE north star): FLOP/byte counts
+    for the batched backward and forward kernels at the headline shape,
+    achieved rates from direct kernel timings, and fractions of the
+    empirically measured VPU / HBM ceilings (utils/sol.py)."""
+    import jax
+    import jax.numpy as jnp
+
+    from dpilqr_tpu.ops.ilqr import line_search_alphas
+    from dpilqr_tpu.ops.pallas_batched import (
+        _branch_row,
+        backward_pass_batched,
+        forward_pass_batched,
+    )
+    from dpilqr_tpu.utils import sol
+
+    if jax.default_backend() not in ("tpu", "axon"):
+        return {}
+    dtype = jnp.float32
+    K, S, n_alpha = 8, 128, cfg.n_ls_iter
+    n = K
+    rng = np.random.default_rng(0)
+    x0, xf = _grid_scenario(n, seed=1)
+    fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, dt)
+    cost = dtl.make_game_cost(
+        jnp.asarray(xf, dtype),
+        jnp.asarray(np.tile(np.eye(4), (n, 1, 1)), dtype),
+        jnp.asarray(np.tile(np.eye(2), (n, 1, 1)), dtype),
+        jnp.asarray(np.tile(1e3 * np.eye(4), (n, 1, 1)), dtype),
+        radius=radius,
+    )
+    cost_b = jax.tree.map(
+        lambda a: jnp.broadcast_to(a[None], (S, *a.shape)), cost
+    )
+    X = jnp.asarray(
+        0.1 * rng.normal(size=(S, N + 1, K, 4)).astype(np.float32)
+    )
+    U = jnp.asarray(0.1 * rng.normal(size=(S, N, K, 2)).astype(np.float32))
+    mu = jnp.ones((S,), dtype)
+    mids = jnp.zeros((S, K), jnp.int32)
+    alphas = jnp.asarray(line_search_alphas(n_alpha, dtype))
+    br = _branch_row(fleet, mids, n_alpha, dtype)
+
+    bw = jax.jit(
+        lambda X, U, mu: backward_pass_batched(fleet, cost_b, mids, X, U, mu)
+    )
+    fw = jax.jit(
+        lambda X, U, Kg, d: forward_pass_batched(
+            fleet, cost_b, br, X, U, Kg, d, alphas
+        )
+    )
+
+    def sync(out):  # hard value-fetch barrier (tunnel-safe)
+        return float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+
+    Kg, d = bw(X, U, mu)
+    sync(fw(X, U, Kg, d))
+
+    def best_of(fn, reps=50):
+        # Two-point extrapolation cancels the dispatch+fetch barrier; min
+        # each rep count separately before differencing (differencing raw
+        # pairs biases toward barrier noise).
+        def timed(r):
+            t0 = time.perf_counter()
+            for _ in range(r):
+                out = fn()
+            sync(out)
+            return time.perf_counter() - t0
+
+        t1 = min(timed(reps) for _ in range(3))
+        t2 = min(timed(2 * reps) for _ in range(3))
+        return max(t2 - t1, 1e-9) / reps
+
+    t_bw = best_of(lambda: bw(X, U, mu))
+    t_fw = best_of(lambda: fw(X, U, Kg, d))
+    rep_bw = sol.kernel_sol("backward", N, K, 4, 2, S, n_alpha, t_bw)
+    rep_fw = sol.kernel_sol(
+        "forward", N, K, 4, 2, S, n_alpha, t_fw, substeps=5
+    )
+    return {
+        "backward_sol_frac": rep_bw["sol_frac"],
+        "backward_gflop_s": rep_bw["achieved_gflop_s"],
+        "backward_bound": rep_bw["binding_limit"],
+        "forward_sol_frac": rep_fw["sol_frac"],
+        "forward_gflop_s": rep_fw["achieved_gflop_s"],
+        "forward_bound": rep_fw["binding_limit"],
+        "vpu_ceiling_gflop_s": rep_bw["ceiling_vpu_gflop_s"],
+        "hbm_ceiling_gb_s": rep_bw["ceiling_hbm_gb_s"],
+    }
+
+
 def main():
     import jax
     import jax.numpy as jnp

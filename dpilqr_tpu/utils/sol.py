@@ -1,0 +1,317 @@
+"""Speed-of-light accounting for the Pallas sweep kernels.
+
+BASELINE.json's north star says "every kernel at speed-of-light per chip".
+This module makes that claim checkable: for each kernel family it counts
+the FLOPs and HBM bytes a sweep must execute (formulas mirror the actual
+in-kernel block ops, ops/pallas_batched.py), measures the achievable
+ceilings ON THIS CHIP with two microbenchmarks written in the same kernel
+style (a VMEM-resident VPU FMA loop and a HBM-streaming grid), and reports
+achieved-vs-ceiling fractions plus which bound binds.
+
+Why empirical ceilings: the kernels are VPU/bandwidth programs (the block
+ops are lane-parallel FMAs, not 128x128 MXU contractions), and public
+spec sheets give MXU TFLOP/s, not the VPU issue rate actually reachable
+from a Pallas grid with double-buffered HBM streams.  Measuring the
+ceiling with the same instrument removes every systematic error except
+the one we care about (kernel efficiency).
+
+All counts use MAC = 2 FLOPs and count the one-hot blend arithmetic of
+the in-kernel Gauss-Jordan solve (it occupies the VPU just like the
+"useful" FLOPs).
+"""
+
+from __future__ import annotations
+
+import functools
+from time import perf_counter
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def _sync(x) -> float:
+    """Hard host barrier: fetch a scalar reduction of ``x``.  Through
+    remote-device tunnels ``block_until_ready`` can return before the
+    device work lands; a value fetch cannot (same trick as bench.py)."""
+    return float(np.asarray(jnp.sum(x)))
+
+
+# ---------------------------------------------------------------------------
+# Work counts (per subproblem, per time step) for the batched sweeps.
+# ---------------------------------------------------------------------------
+
+
+def backward_step_flops(K: int, nx_p: int, nu_p: int) -> int:
+    """FLOPs of ONE time step of the batched backward kernel for ONE
+    subproblem (ops/pallas_batched.backward_pass_batched's kernel body).
+
+    Terms follow the kernel line by line; nxf = K*nx_p, nuf = K*nu_p.
+    """
+    nxf, nuf = K * nx_p, K * nu_p
+    fl = 0
+    fl += 2 * nxf * nxf  # Preg = P + mu * eye (mul + add per entry)
+    fl += 2 * K * nx_p * nx_p + nxf  # Q_x = Lx + A_bd^T p
+    fl += 2 * K * nx_p * nu_p + nuf  # Q_u = Lu + B_bd^T p
+    fl += 2 * nx_p * nxf * nxf  # AtP = A_bd^T P
+    fl += 2 * nx_p * nxf * nxf + nxf * nxf  # Q_xx = Lxx + AtP A_bd
+    fl += 2 * nx_p * nuf * nxf  # W1 = B_bd^T Preg
+    fl += 2 * nx_p * nuf * nxf  # Q_ux = W1 A_bd
+    fl += 2 * nx_p * nuf * nuf + nuf * nuf  # Q_uu = W1 B_bd + Luu
+    # _gj_solve: nuf pivots.  Per pivot over the (nuf + nxf + 1)-wide
+    # augmented system: scale row (w mul), eliminate (2 w nuf), restore
+    # via one-hot blends (~4 w: two muls, one sub, one add).
+    w = nuf + nxf + 1
+    fl += nuf * (w + 2 * w * nuf + 4 * w)
+    fl += 2 * nuf * nuf + nuf  # w = Q_uu d + Q_u
+    fl += 2 * nuf * nxf * 2 + 2 * nxf  # p' = Q_x + K^T w + Q_ux^T d
+    fl += 2 * nuf * nuf * nxf  # QuuK = Q_uu K
+    fl += 3 * (2 * nuf * nxf * nxf)  # K^T QuuK + K^T Q_ux + Q_ux^T K
+    fl += 3 * nxf * nxf  # adds + symmetrization
+    return fl
+
+
+def backward_step_hbm_bytes(
+    K: int, nx_p: int, nu_p: int, dtype_bytes: int = 4
+) -> int:
+    """HBM bytes streamed per time step per subproblem by the batched
+    backward kernel: the _tspec_rev inputs (A, B, L_uu, L_xx, L_x, L_u)
+    and outputs (Kg, d).  The value-function state lives in VMEM scratch
+    and never touches HBM."""
+    nxf, nuf = K * nx_p, K * nu_p
+    n_in = (
+        K * nx_p * nx_p  # A
+        + K * nx_p * nu_p  # B
+        + nuf * nuf  # L_uu (block-diag embedded dense)
+        + nxf * nxf  # L_xx
+        + nxf  # L_x
+        + nuf  # L_u
+    )
+    n_out = nuf * nxf + nuf  # Kg, d
+    return (n_in + n_out) * dtype_bytes
+
+
+def forward_step_flops(
+    K: int, nx_p: int, nu_p: int, n_alpha: int, substeps: int,
+    f_flops_per_slot: int = 40,
+) -> int:
+    """FLOPs of ONE time step of the batched forward (line-search) kernel
+    for ONE subproblem, across its n_alpha candidates.
+
+    ``f_flops_per_slot``: cost of one continuous-dynamics eval per slot
+    (model-dependent; ~40 covers the trig + affine work of the 4-state
+    models, models/vectorized.py).
+    """
+    nxf, nuf = K * nx_p, K * nu_p
+    C = K * n_alpha  # columns per subproblem
+    fl = 0
+    fl += 2 * nxf * nuf * n_alpha  # du = sum_k G dx (outer-product FMAs)
+    fl += 2 * nu_p * nuf * C  # du row extraction (0/1 matmul)
+    fl += 3 * nu_p * C  # u = Ur + du + alpha * d
+    # stage cost: two quadforms (Q e, R u) + mask/weight muls
+    fl += (2 * nx_p * nx_p + 2 * nx_p) * C
+    fl += (2 * nu_p * nu_p + 2 * nu_p) * C
+    fl += 6 * C
+    npairs = K * (K - 1) // 2
+    fl += npairs * (3 * 3 * 2 + 8) * n_alpha  # pairwise penalty columns
+    # RK4: 4 f evals + state combines per substep
+    fl += substeps * (4 * f_flops_per_slot + 14 * nx_p) * C
+    return fl
+
+
+def forward_step_hbm_bytes(
+    K: int, nx_p: int, nu_p: int, n_alpha: int, dtype_bytes: int = 4
+) -> int:
+    """HBM bytes per time step per subproblem: streamed Xr, Ur, G, d in;
+    Xo, Uo out (constants are grid-invariant and loaded once)."""
+    nxf, nuf = K * nx_p, K * nu_p
+    C = K * n_alpha
+    n = (
+        nx_p * C  # Xr
+        + nu_p * C  # Ur
+        + nxf * nuf  # G (per subproblem, not per alpha)
+        + nu_p * C  # d tiled
+        + nx_p * C  # Xo
+        + nu_p * C  # Uo
+    )
+    return n * dtype_bytes
+
+
+# ---------------------------------------------------------------------------
+# Empirical ceilings: same-style microbenchmark kernels.
+# ---------------------------------------------------------------------------
+
+
+@functools.cache
+def measure_vpu_peak_gflops(S: int = 512, rows: int = 256, iters: int = 2048,
+                            reps: int = 5) -> float:
+    """Achievable VPU FLOP/s from a Pallas kernel: a loop of (rows, S)
+    FMAs on VMEM-resident data -- ``4 * rows * S`` FLOPs per iteration
+    (two fused multiply-adds), no HBM traffic in the loop.  The (256, 512)
+    operand spans 128 vregs, so the FMA latency chain between iterations
+    is hidden and the loop measures ISSUE THROUGHPUT, not latency.
+    Returns GFLOP/s."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    def kernel(x_ref, o_ref):
+        a = x_ref[:]
+        b = a * 1.0000001 + 0.0000003
+        c = a * 0.9999999 + 0.0000001
+        d = b * 1.0000002 + 0.0000002
+
+        def body(i, carry):
+            a, b, c, d = carry
+            # Four independent FMA streams: enough ILP to saturate issue.
+            a = a * 1.0000001 + 1.0000001e-7
+            b = b * 0.9999999 + 1.0000002e-7
+            c = c * 1.0000002 + 0.9999998e-7
+            d = d * 0.9999998 + 1.0000003e-7
+            return a, b, c, d
+
+        a, b, c, d = jax.lax.fori_loop(0, iters, body, (a, b, c, d))
+        o_ref[:] = (a + b) + (c + d)
+
+    x = jnp.ones((rows, S), jnp.float32)
+    fn = jax.jit(
+        lambda x: pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((rows, S), jnp.float32),
+        )(x)
+    )
+    _sync(fn(x))
+    # Two-point extrapolation cancels the dispatch+fetch overhead (which
+    # through a remote-device tunnel dwarfs the kernel itself): take the
+    # MIN of each rep count separately, then difference -- differencing
+    # raw pairs would bias toward barrier noise.
+    inner = 50
+
+    def timed(r):
+        t0 = perf_counter()
+        out = None
+        for _ in range(r):
+            out = fn(x)
+        _sync(out)
+        return perf_counter() - t0
+
+    t1 = min(timed(inner) for _ in range(reps))
+    t2 = min(timed(2 * inner) for _ in range(reps))
+    flops = 8 * rows * S * iters * inner
+    return flops / max(t2 - t1, 1e-9) / 1e9
+
+
+@functools.cache
+def measure_hbm_stream_gbps(mb: int = 256, reps: int = 5) -> float:
+    """Achievable HBM->VMEM streaming bandwidth from a Pallas grid in the
+    sweep kernels' style: a (T, 512, 512) float32 array streamed one
+    leading-axis step per grid iteration (double-buffered by the Pallas
+    pipeline), reduced into a VMEM accumulator.  Counts read bytes only.
+    Returns GB/s."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    blk = 512
+    T = max(1, (mb * 1024 * 1024) // (blk * blk * 4))
+
+    def kernel(x_ref, o_ref, acc):
+        t = pl.program_id(0)
+
+        @pl.when(t == 0)
+        def _():
+            acc[:] = jnp.zeros_like(acc)
+
+        acc[:] = acc[:] + x_ref[0]
+
+        @pl.when(t == T - 1)
+        def _():
+            o_ref[:] = acc[:]
+
+    _i0 = np.int32(0)  # int32 index maps: python 0 promotes to int64
+    x = jnp.ones((T, blk, blk), jnp.float32)
+    fn = jax.jit(
+        lambda x: pl.pallas_call(
+            kernel,
+            grid=(T,),
+            in_specs=[
+                pl.BlockSpec((1, blk, blk), lambda t: (t, _i0, _i0),
+                             memory_space=pltpu.VMEM)
+            ],
+            out_specs=pl.BlockSpec((blk, blk), lambda t: (_i0, _i0),
+                                   memory_space=pltpu.VMEM),
+            out_shape=jax.ShapeDtypeStruct((blk, blk), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((blk, blk), jnp.float32)],
+        )(x)
+    )
+    _sync(fn(x))
+
+    def timed(r):
+        t0 = perf_counter()
+        out = None
+        for _ in range(r):
+            out = fn(x)
+        _sync(out)
+        return perf_counter() - t0
+
+    inner = 8
+    t1 = min(timed(inner) for _ in range(reps))
+    t2 = min(timed(2 * inner) for _ in range(reps))
+    return T * blk * blk * 4 * inner / max(t2 - t1, 1e-9) / 1e9
+
+
+# ---------------------------------------------------------------------------
+# Report.
+# ---------------------------------------------------------------------------
+
+
+def kernel_sol(
+    family: str,
+    N: int,
+    K: int,
+    nx_p: int,
+    nu_p: int,
+    S: int,
+    n_alpha: int,
+    measured_s: float,
+    launches: int = 1,
+    substeps: int = 1,
+) -> dict:
+    """Achieved-vs-ceiling summary for ``launches`` sweeps of one kernel
+    family measured at ``measured_s`` seconds total.
+
+    The binding limit is whichever ceiling predicts the LONGER runtime:
+    ``t_compute = flops / vpu_peak`` vs ``t_memory = bytes / hbm_bw``.
+    Both microbenchmark ceilings are measured on this chip, in this
+    process, with kernels of the same structure.
+    """
+    if family == "backward":
+        fl = backward_step_flops(K, nx_p, nu_p) * N * S * launches
+        by = backward_step_hbm_bytes(K, nx_p, nu_p) * N * S * launches
+    elif family == "forward":
+        fl = (
+            forward_step_flops(K, nx_p, nu_p, n_alpha, substeps)
+            * N * S * launches
+        )
+        by = (
+            forward_step_hbm_bytes(K, nx_p, nu_p, n_alpha) * N * S * launches
+        )
+    else:
+        raise ValueError(family)
+    vpu = measure_vpu_peak_gflops() * 1e9
+    hbm = measure_hbm_stream_gbps() * 1e9
+    t_compute = fl / vpu
+    t_memory = by / hbm
+    bound = "vpu" if t_compute >= t_memory else "hbm"
+    t_sol = max(t_compute, t_memory)
+    return {
+        "family": family,
+        "gflops": round(fl / 1e9, 3),
+        "gbytes": round(by / 1e9, 3),
+        "achieved_gflop_s": round(fl / measured_s / 1e9, 1),
+        "achieved_gb_s": round(by / measured_s / 1e9, 1),
+        "ceiling_vpu_gflop_s": round(vpu / 1e9, 1),
+        "ceiling_hbm_gb_s": round(hbm / 1e9, 1),
+        "binding_limit": bound,
+        "sol_s": round(t_sol, 6),
+        "measured_s": round(measured_s, 6),
+        "sol_frac": round(t_sol / measured_s, 3),
+    }

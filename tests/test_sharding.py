@@ -87,3 +87,26 @@ def test_trials_sharded_matches_per_trial():
         assert np.allclose(
             np.asarray(res.X[t]), np.asarray(ref.X), atol=1e-8
         )
+
+
+def test_two_process_distributed():
+    """The multi-process jax.distributed path actually executes: two OS
+    processes (4 virtual CPU devices each) form a global 8-device mesh via
+    a localhost coordinator and produce the single-process result exactly
+    (cluster/two_host_check.py; SCALING.md round-4 section)."""
+    import json
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    script = Path(__file__).resolve().parent.parent / "cluster" / "two_host_check.py"
+    r = subprocess.run(
+        [sys.executable, str(script), "--agents", "24", "--horizon", "20"],
+        capture_output=True, text=True, timeout=600,
+    )
+    assert r.returncode == 0, r.stderr[-2000:]
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["processes"] == 2
+    assert out["global_devices"] == 8
+    assert out["trajectory_equal_across_processes"] is True
+    assert out["trajectory_matches_single_process"] is True

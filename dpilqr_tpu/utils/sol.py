@@ -162,11 +162,13 @@ def measure_vpu_peak_gflops(S: int = 512, rows: int = 256, iters: int = 2048,
 
         def body(i, carry):
             a, b, c, d = carry
-            # Four independent FMA streams: enough ILP to saturate issue.
-            a = a * 1.0000001 + 1.0000001e-7
-            b = b * 0.9999999 + 1.0000002e-7
-            c = c * 1.0000002 + 0.9999998e-7
-            d = d * 0.9999998 + 1.0000003e-7
+            # Four independent FMA streams x4 unroll: enough ILP to
+            # saturate issue and amortize the loop-carried overhead.
+            for _ in range(4):
+                a = a * 1.0000001 + 1.0000001e-7
+                b = b * 0.9999999 + 1.0000002e-7
+                c = c * 1.0000002 + 0.9999998e-7
+                d = d * 0.9999998 + 1.0000003e-7
             return a, b, c, d
 
         a, b, c, d = jax.lax.fori_loop(0, iters, body, (a, b, c, d))
@@ -196,7 +198,7 @@ def measure_vpu_peak_gflops(S: int = 512, rows: int = 256, iters: int = 2048,
 
     t1 = min(timed(inner) for _ in range(reps))
     t2 = min(timed(2 * inner) for _ in range(reps))
-    flops = 8 * rows * S * iters * inner
+    flops = 4 * 8 * rows * S * iters * inner
     return flops / max(t2 - t1, 1e-9) / 1e9
 
 

@@ -144,6 +144,9 @@ def _grid3d_scenario(n, spacing=1.25, nx=6, seed=0):
         np.arange(n) + 1,
         np.where(col % 2 == 1, np.arange(n) - 1, np.arange(n)),
     )
+    # Truncated grids (side^3 > n): a last agent's partner may fall off
+    # the end -- keep it in place instead.
+    partner = np.where(partner < n, partner, np.arange(n))
     goals = pts[partner] + rng.uniform(-0.05, 0.05, pts.shape)
     x0 = np.zeros((n, nx))
     x0[:, :3] = pts

@@ -70,6 +70,14 @@ from .costs import (
 # literal promotes the arithmetic to int64, which Mosaic cannot legalize.
 _I0 = np.int32(0)
 
+# Widest flat state (K * nx_p) the statically-unrolled backward kernel's
+# program compiles at (measured: 32 OK; 48 hangs the TPU compiler > 20 min).
+# Past it the blocked kernel (pallas_batched_wide) takes over, up to
+# WIDE_NXF_LIMIT (48 verified compiling + running for Quad6D K=8 and
+# Quad12D K=4 on v5e).
+UNROLLED_NXF_LIMIT = 32
+WIDE_NXF_LIMIT = 48
+
 
 def _vspec(shape=None):
     """Full-array VMEM spec.  With a grid present, Pallas synthesizes a
@@ -230,27 +238,35 @@ def _gj_solve(Quu, Qux, Qu, nuf):
 
     ``Quu (nuf, nuf, S)`` SPD, ``Qux (nuf, nxf, S)``, ``Qu (nuf, S)``.
     The pivot loop is statically unrolled: every row read is a static
-    slice; pivot rows are restored with one-hot blends.  Same elimination
-    order as ops/ilqr.gauss_jordan_solve (tests assert agreement)."""
+    slice.  The pivot row is scaled in place and MASKED OUT of its own
+    elimination (the eliminating column gets a zero at the pivot row)
+    instead of eliminate-then-restore -- 3 full-size VPU ops per system
+    per pivot instead of 5, bitwise-identical results (the masked path
+    computes ``x - 0`` / ``x * 1`` exactly where the blend re-selected
+    ``x``).  Same elimination order as ops/ilqr.gauss_jordan_solve
+    (tests assert agreement)."""
     dtype = Quu.dtype
     rh3 = jax.lax.broadcasted_iota(jnp.int32, (nuf, 1, 1), 0)
     rh2 = jax.lax.broadcasted_iota(jnp.int32, (nuf, 1), 0)
     for kp in range(nuf):
         inv = 1.0 / Quu[kp][kp : kp + 1, :]  # (1, S)
-        pivq = Quu[kp] * inv  # (nuf, S)
-        pivx = Qux[kp] * inv  # (nxf, S)
-        pivu = Qu[kp : kp + 1, :] * inv  # (1, S)
-        colq3 = Quu[:, kp : kp + 1, :]  # (nuf, 1, S)
+        hot3 = (rh3 == kp).astype(dtype)  # (nuf, 1, 1)
+        hot2 = (rh2 == kp).astype(dtype)  # (nuf, 1)
+        # Scale factor: exactly inv on the pivot row, exactly 1.0 elsewhere
+        # (select, not arithmetic blend -- bitwise-exact either way).
+        scale3 = jnp.where(hot3 != 0, inv[None, :, :], 1.0)  # (nuf, 1, S)
+        scale2 = jnp.where(hot2 != 0, inv, 1.0)  # (nuf, S)
+        colq3 = (Quu[:, kp : kp + 1, :]) * (1.0 - hot3)  # (nuf, 1, S)
         colq2 = colq3[:, 0, :]  # (nuf, S)
-        hot3 = (rh3 == kp).astype(dtype)
-        hot2 = (rh2 == kp).astype(dtype)
+        Quu = Quu * scale3
+        Qux = Qux * scale3
+        Qu = Qu * scale2
+        pivq = Quu[kp]  # (nuf, S) -- already scaled
+        pivx = Qux[kp]  # (nxf, S)
+        pivu = Qu[kp : kp + 1, :]  # (1, S)
         Quu = Quu - colq3 * pivq[None, :, :]
         Qux = Qux - colq3 * pivx[None, :, :]
         Qu = Qu - colq2 * pivu
-        # Restore the pivot row (zeroed by its own elimination above).
-        Quu = Quu * (1.0 - hot3) + hot3 * pivq[None, :, :]
-        Qux = Qux * (1.0 - hot3) + hot3 * pivx[None, :, :]
-        Qu = Qu * (1.0 - hot2) + hot2 * pivu
     return Qux, Qu
 
 
@@ -404,11 +420,16 @@ def backward_pass_batched(
         w = _t_dot_vec(Q_uu, d_t, nuf) + Q_u  # Q_uu d + Q_u (symmetry)
         p_s[:] = Q_x + _t_dot_vec(K_t, w, nuf) + _t_dot_vec(Q_ux, d_t, nuf)
         QuuK = _t_dot(Q_uu, K_t, nuf)  # Q_uu K (symmetric Q_uu)
+        # Q_ux^T K is the elementwise transpose of K^T Q_ux (same products,
+        # same v-accumulation order -> bitwise equal), so compute the
+        # 2*nuf*nxf^2 contraction once and transpose -- ~20% fewer
+        # backward-kernel FLOPs at K=8/nx=4.
+        KtQux = _t_dot(K_t, Q_ux, nuf)  # K^T Q_ux
         P_new = (
             Q_xx
             + _t_dot(K_t, QuuK, nuf)  # K^T Q_uu K
-            + _t_dot(K_t, Q_ux, nuf)  # K^T Q_ux
-            + _t_dot(Q_ux, K_t, nuf)  # Q_ux^T K
+            + KtQux
+            + jnp.transpose(KtQux, (1, 0, 2))  # Q_ux^T K
         )
         P_s[:] = 0.5 * (P_new + jnp.transpose(P_new, (1, 0, 2)))
 
@@ -894,9 +915,19 @@ def batched_iteration(
     alphas = jnp.asarray(line_search_alphas(n_alpha, dtype))
     branch_row = _branch_row(fleet, mids_s, n_alpha, dtype)
 
-    Kg, dv = backward_pass_batched(
-        fleet, sub_cost, mids_s, c.X, c.U, c.mu, interpret=interpret
-    )
+    if x0_s.shape[1] * fleet.nx_p > UNROLLED_NXF_LIMIT:
+        # Wide subproblems: the statically-unrolled kernel's program does
+        # not compile past nxf=32; the blocked kernel (same arithmetic,
+        # O(nx_p + nuf) program size) takes over (pallas_batched_wide).
+        from .pallas_batched_wide import backward_pass_batched_wide
+
+        Kg, dv = backward_pass_batched_wide(
+            fleet, sub_cost, mids_s, c.X, c.U, c.mu, interpret=interpret
+        )
+    else:
+        Kg, dv = backward_pass_batched(
+            fleet, sub_cost, mids_s, c.X, c.U, c.mu, interpret=interpret
+        )
     X5, U5, J_c = forward_pass_batched(
         fleet, sub_cost, branch_row, c.X, c.U, Kg, dv, alphas,
         interpret=interpret,
@@ -1137,13 +1168,21 @@ def resolve_batched_backend(
     if len({s.rk4_substeps for s in fleet.specs}) != 1:
         return "xla"
     n_br = int(np.max(fleet.branch_index_array)) + 1 if fleet.n_agents else 1
-    # Program-size envelope: the in-kernel block ops unroll O(K^2 nx^2)
-    # statically, and past nxf = K * nx_p = 32 the TPU compiler reliably
-    # fails on the generated program (measured: K=12 and K=16 at nx_p=4,
-    # N=50 both crash the remote compile helper; K=8/nx=4 and K=4/nx=6 are
-    # verified).  Wider subproblems take the XLA scans.
-    if K * fleet.nx_p > 32:
+    # Program-size envelope.  Up to nxf = K * nx_p = 32 the statically-
+    # unrolled kernels compile (and are ~2x faster per launch than the
+    # blocked form); from 32 to WIDE_NXF_LIMIT the blocked backward kernel
+    # (pallas_batched_wide) takes over -- measured compiling AND running
+    # for Quad6D K=8 and Quad12D K=4 (nxf=48) on v5e.  Beyond that, the
+    # XLA scans.
+    nxf = K * fleet.nx_p
+    if nxf > WIDE_NXF_LIMIT:
         return "xla"
+    if nxf > UNROLLED_NXF_LIMIT:
+        from .pallas_batched_wide import fits_vmem_wide
+
+        unit_w = _pad_unit(cfg.n_ls_iter)
+        if not fits_vmem_wide(N, K, fleet.nx_p, fleet.nu_p, unit_w):
+            return "xla"
     # The kernel path chunks oversized batches over multiple launches
     # (solve_subproblems_batched), so it only needs ONE lane-aligned chunk
     # to fit the VMEM budget.

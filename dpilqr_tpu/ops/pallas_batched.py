@@ -1043,15 +1043,10 @@ def solve_subproblems_batched(
     unit = _pad_unit(cfg.n_ls_iter)
     S_pad = int(-(-S0 // unit) * unit)
 
-    def solve_chunk(cost_c, x0_c, U0_c, mids_c, en_c):
-        S = x0_c.shape[0]
-        c = init_batch_carry(
-            fleet, cfg, cost_c, x0_c, U0_c, mids_c, en_c, interpret
-        )
-        out = c
-        idx_map = jnp.arange(S, dtype=jnp.int32)
-        data = (cost_c, mids_c, x0_c)
-        w = S
+    def staged_loop(c, data, out, idx_map):
+        """Width-halving retirement loop: iterate, commit finished lanes
+        into ``out`` (via ``idx_map``), compact actives, repeat."""
+        w = c.active.shape[0]
         while True:
 
             def body(ci, data=data):
@@ -1083,6 +1078,18 @@ def solve_subproblems_batched(
             w = nw
         return out
 
+    def solve_chunk(cost_c, x0_c, U0_c, mids_c, en_c):
+        S = x0_c.shape[0]
+        c = init_batch_carry(
+            fleet, cfg, cost_c, x0_c, U0_c, mids_c, en_c, interpret
+        )
+        return staged_loop(
+            c,
+            (cost_c, mids_c, x0_c),
+            c,
+            jnp.arange(S, dtype=jnp.int32),
+        )
+
     if fits_vmem_batched(N, K, nx_p, nu_p, S_pad, cfg.n_ls_iter, n_br):
         sub_cost, x0_s, U0_s, mids_s, enabled, S0 = pad_batch(
             cfg, sub_cost, x0_s, U0_s, mids_s, enabled
@@ -1111,6 +1118,45 @@ def solve_subproblems_batched(
         return a.reshape(n_chunks, Sc, *a.shape[1:])
 
     args = jax.tree.map(to_chunks, (sub_cost, x0_s, U0_s, mids_s, enabled))
+
+    # Cross-chunk retirement: each chunk iterates at full width only until
+    # its actives fit an equal share (mw) of ONE chunk's lanes; the
+    # surviving actives of ALL chunks then merge into a single <=Sc batch
+    # and the tail runs once through the staged loop instead of once per
+    # chunk.  Iteration sequences are lane-position-independent, so
+    # results equal the per-chunk solve exactly.
+    mw = (Sc // n_chunks) // unit * unit
+    if mw >= unit:
+
+        def stage_a(t):
+            cost_c, x0_c, U0_c, mids_c, en_c = t
+            c0 = init_batch_carry(
+                fleet, cfg, cost_c, x0_c, U0_c, mids_c, en_c, interpret
+            )
+            c = jax.lax.while_loop(
+                lambda ci: jnp.any(ci.active) & (jnp.sum(ci.active) > mw),
+                lambda ci: batched_iteration(
+                    fleet, cfg, cost_c, mids_c, x0_c, ci, interpret
+                ),
+                c0,
+            )
+            perm = jnp.argsort(~c.active)[:mw]
+            comp = jax.tree.map(lambda a: a[perm], c)
+            datac = jax.tree.map(lambda a: a[perm], (cost_c, mids_c, x0_c))
+            return c, comp, datac, perm.astype(jnp.int32)
+
+        outs, comps, datacs, perms = jax.lax.map(stage_a, args)
+        unchunk = lambda a: a.reshape(a.shape[0] * a.shape[1], *a.shape[2:])
+        out_full = jax.tree.map(unchunk, outs)
+        merged_c = jax.tree.map(unchunk, comps)
+        merged_data = jax.tree.map(unchunk, datacs)
+        idx_map = (
+            jnp.arange(n_chunks, dtype=jnp.int32)[:, None] * Sc + perms
+        ).reshape(-1)
+        out = staged_loop(merged_c, merged_data, out_full, idx_map)
+        return _carry_result(out, S0)
+
+    # Too many chunks for an equal-share merge: per-chunk staged solves.
     out = jax.lax.map(lambda t: solve_chunk(*t), args)
     out = jax.tree.map(lambda a: a.reshape(-1, *a.shape[2:]), out)
     return _carry_result(out, S0)

@@ -121,6 +121,26 @@ class TestInterpretParity:
         np.testing.assert_allclose(np.asarray(rp.J), np.asarray(rx.J), rtol=1e-9)
         np.testing.assert_allclose(np.asarray(rp.X), np.asarray(rx.X), atol=1e-8)
 
+    def test_cross_chunk_merge(self, monkeypatch):
+        # Batch of 160 pads to 256 and chunks at Sc=128 (VMEM predicate
+        # shrunk): each chunk iterates full-width only until <=64 actives
+        # remain, then both chunks' survivors merge into one 128-wide
+        # staged batch.  Results must match the lockstep XLA path exactly.
+        from dpilqr_tpu.ops import pallas_batched as pb
+
+        monkeypatch.setattr(
+            pb, "fits_vmem_batched", lambda N, K, nx, nu, S, na, nb=1, **kw:
+            S <= 2 * pb._pad_unit(10),
+        )
+        fleet, cost, X0, U0, radius = _problem(160, 5, jnp.float64, seed=9)
+        rx = _run(fleet, cost, X0, U0, radius, 4, "xla", n_iter=6)
+        rp = _run(fleet, cost, X0, U0, radius, 4, "pallas-interpret", n_iter=6)
+        iters = np.asarray(rx.iters)
+        assert iters.max() > iters.min(), iters
+        np.testing.assert_array_equal(iters, np.asarray(rp.iters))
+        np.testing.assert_allclose(np.asarray(rp.J), np.asarray(rx.J), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(rp.X), np.asarray(rx.X), atol=1e-8)
+
     def test_chunked_batch(self, monkeypatch):
         # Batches too large for one kernel launch split over several
         # launches (lax.map over the subproblem axis) instead of falling

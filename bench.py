@@ -73,6 +73,9 @@ def _swap_scenario(n, spacing=0.75, seed=0):
         np.arange(n) + 1,
         np.where(col % 2 == 1, np.arange(n) - 1, np.arange(n)),
     )
+    # Truncated grids (side^2 > n): a last agent's partner may fall off
+    # the end -- keep it in place instead.
+    partner = np.where(partner < n, partner, np.arange(n))
     goals = pts[partner] + rng.uniform(-0.05, 0.05, pts.shape)
     x0 = np.zeros((n, 4))
     x0[:, :2] = pts
@@ -253,7 +256,7 @@ def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
     x0p = np.zeros((n, nx_p))
     x0p[:, :2] = x0h[:, :2]
     xfp = np.zeros((n, nx_p))
-    xfp[:, :2] = xf_cols = xfh[:, :2]
+    xfp[:, :2] = xfh[:, :2]
     costh = dtl.make_game_cost(
         jnp.asarray(xfp, dtype),
         jnp.asarray(np.tile(np.eye(nx_p), (n, 1, 1)), dtype),
@@ -453,10 +456,10 @@ def main():
     # advance, warm-start shift, per-step host sync), honest auto-K.
     ms_mpc_step, _ = closed_loop_run(n=100, n_steps=20, N=N, dt=dt,
                                      radius=radius, cfg=cfg)
-    # 250-agent point pins K=8 (auto-K's width-growth sequence would
+    # 250/500-agent points pin K=8 (auto-K's width-growth sequence would
     # compile several kernel widths at fresh shapes, blowing the bench
-    # budget) and asserts the pin was wide enough -- truncation would make
-    # the number meaningless.
+    # budget) and assert the pin was wide enough -- truncation would make
+    # the numbers meaningless.
     ms_mpc_step_250, res250 = closed_loop_run(
         n=250, n_steps=20, N=N, dt=dt, radius=radius, K=8, cfg=cfg
     )
@@ -464,6 +467,13 @@ def main():
         max(len(v) for v in s.graph.values()) for s in res250.steps
     )
     assert max_nbhd_250 <= 8, f"250-agent closed loop truncated: {max_nbhd_250}"
+    ms_mpc_step_500, res500 = closed_loop_run(
+        n=500, n_steps=15, N=N, dt=dt, radius=radius, K=8, cfg=cfg
+    )
+    max_nbhd_500 = max(
+        max(len(v) for v in s.graph.values()) for s in res500.steps
+    )
+    assert max_nbhd_500 <= 8, f"500-agent closed loop truncated: {max_nbhd_500}"
 
     # 10-agent centralized (round-1 headline metric, kept for continuity).
     from dpilqr_tpu.ops.ilqr import resolve_sweep_backend
@@ -527,6 +537,8 @@ def main():
         "hz_mpc_100": round(1000.0 / ms_mpc_step, 2),
         "ms_per_mpc_step_250": round(ms_mpc_step_250, 3),
         "hz_mpc_250": round(1000.0 / ms_mpc_step_250, 2),
+        "ms_per_mpc_step_500": round(ms_mpc_step_500, 3),
+        "hz_mpc_500": round(1000.0 / ms_mpc_step_500, 2),
         "ms_10_centralized": round(ms10, 3),
         "backend_10_centralized": backend10,
         "iters_10_centralized": int(np.asarray(res10.iters)),
@@ -539,6 +551,11 @@ def main():
         extra[f"hz_{n}_distributed"] = round(1000.0 / p["ms"], 2)
         extra[f"backend_{n}_distributed"] = p["backend"]
         extra[f"iters_{n}_distributed"] = p["iters"]
+
+    # BASELINE.json configs 3 + 5 (previously unmeasured) and the
+    # speed-of-light accounting (VERDICT r3 items 2 + 4).
+    extra.update(_model_family_points(dtl, cfg, N, dt, radius, time_solve))
+    extra.update(_sol_extras(dtl, cfg, N, dt, radius))
 
     print(
         json.dumps(

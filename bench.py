@@ -130,7 +130,7 @@ def closed_loop_run(n=100, n_steps=20, N=50, dt=0.1, radius=0.5, K=None,
     return best, res
 
 
-def _grid3d_scenario(n, spacing=1.25, nx=6, seed=0):
+def _grid3d_scenario(n, spacing=0.75, nx=6, seed=0):
     """3D constant-density scenario with local crossings for the quad
     models: agents sit on a jittered 3D grid and swap with their lateral
     neighbor (same regime as _swap_scenario, one layer axis added)."""
@@ -222,7 +222,10 @@ def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
         "iters_quad6d_64": iters,
     })
 
-    # Quad12D point (config 5's full-state model).
+    # Quad12D point (config 5's full-state model).  K=8 covers the 3D
+    # grid neighborhoods; nxf = 96 sits past the wide-kernel envelope, so
+    # this point honestly measures the vmapped XLA path (README backend
+    # matrix).
     n = 16
     x0q, xfq = _grid3d_scenario(n, nx=12)
     fleetq = dtl.homogeneous_fleet(dtl.QUAD_12D, n, dt)
@@ -235,7 +238,7 @@ def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
         n_pos=np.full((n,), 3, np.int32),
     )
     ms, backend, iters, trunc = _distributed_point(
-        dtl, fleetq, costq, x0q, N, radius, 4, cfg, time_solve
+        dtl, fleetq, costq, x0q, N, radius, 8, cfg, time_solve
     )
     assert not trunc, "quad12d_16 truncated"
     out.update({
@@ -249,7 +252,7 @@ def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
     # padded states).  Bike5D's rk4_substeps=1 vs 5 elsewhere makes the
     # batched kernels inapplicable -- the honest number is the XLA path's.
     n = 99
-    x0h, xfh = _swap_scenario(n, spacing=1.25)
+    x0h, xfh = _swap_scenario(n, spacing=0.75)
     models = [dtl.DOUBLE_INT_4D, dtl.CAR_3D, dtl.BIKE_5D] * (n // 3)
     fleeth = dtl.Fleet(tuple(models), dt)
     nx_p = fleeth.nx_p

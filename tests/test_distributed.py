@@ -336,3 +336,35 @@ class TestRhc:
         )
         # Deadline mode still makes progress (may or may not fully converge).
         assert res.X.shape[0] >= 1
+
+
+class TestSteppableRepack:
+    def test_steppable_repack_equals_fused(self):
+        """The host-stepped deadline loop retires converged subproblems by
+        repacking the batch into smaller widths between iterations
+        (parallel/deadline.py); with no deadline pressure its result must
+        equal the fused solve_distributed exactly.  160 agents cross two
+        repack boundaries (160 -> 128 -> 64) on the XLA path."""
+        n, dt, N = 160, 0.1, 8
+        rng = np.random.default_rng(4)
+        x0, xf = dtl.random_setup(n, 4, rng=rng, energy=4.0 * n, n_d=2)
+        fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, dt)
+        cost = _uni_cost(n, jnp.asarray(xf), radius=0.5)
+        X0 = jnp.broadcast_to(jnp.asarray(x0)[None], (N + 1, n, 4))
+        U0 = jnp.zeros((N, n, 2))
+        cfg = dtl.SolverConfig(n_lqr_iter=8, tol=1e-3)
+        fused = dtl.solve_distributed(
+            fleet, cost, X0, U0, radius=0.5, K=4, config=cfg
+        )
+        stepped = dtl.solve_distributed(
+            fleet, cost, X0, U0, radius=0.5, K=4, config=cfg, t_kill=600.0
+        )
+        iters = np.asarray(fused.iters)
+        assert iters.max() > iters.min()  # spread: repack engages
+        np.testing.assert_array_equal(iters, np.asarray(stepped.iters))
+        np.testing.assert_allclose(
+            float(stepped.J), float(fused.J), rtol=1e-12
+        )
+        np.testing.assert_allclose(
+            np.asarray(stepped.X), np.asarray(fused.X), atol=1e-10
+        )

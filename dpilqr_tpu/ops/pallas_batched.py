@@ -42,8 +42,19 @@ Forward kernel layout: columns ``C = K * CS`` with ``CS = n_alpha * S`` and
 are static lane slices.  Callers pad S so CS is a multiple of the 128-lane
 tile, keeping every block boundary register-aligned (``pad_batch``).
 
-VMEM: ``fits_vmem_batched`` bounds the working set; callers fall back to
-the vmapped XLA scan path when it does not fit.
+VMEM: ``fits_vmem_batched`` bounds the working set; oversized batches
+chunk over multiple launches (with cross-chunk retirement merging), and
+shapes past every kernel's envelope fall back to the vmapped XLA scans.
+
+Scheduling: converged/failed subproblems RETIRE mid-solve -- the batch
+compacts into progressively smaller lane-aligned widths (staged
+width-halving, device-side stable gather, no host sync), so late
+iterations cost in proportion to the active count
+(``solve_subproblems_batched``).
+
+Width envelope: these statically-unrolled kernels compile up to
+``K * nx_p = 32`` (UNROLLED_NXF_LIMIT); from 32 to WIDE_NXF_LIMIT the
+blocked backward kernel (ops/pallas_batched_wide.py) takes over.
 """
 
 from __future__ import annotations

@@ -199,9 +199,12 @@ def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
     dtype = jnp.float32
     out = {}
 
-    # Config 5: Quad6D swarm, 3D local-crossing scenario.
+    # Config 5: Quad6D swarm, 3D local-crossing scenario.  Spacing 0.85
+    # couples the axis neighbors (<= 7-agent neighborhoods) while keeping
+    # jittered face diagonals outside the 2*radius threshold, so K=8
+    # never truncates.
     n = 64
-    x0q, xfq = _grid3d_scenario(n, nx=6)
+    x0q, xfq = _grid3d_scenario(n, spacing=0.85, nx=6)
     fleetq = dtl.homogeneous_fleet(dtl.QUAD_6D, n, dt)
     costq = dtl.make_game_cost(
         jnp.asarray(xfq, dtype),
@@ -227,7 +230,7 @@ def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
     # this point honestly measures the vmapped XLA path (README backend
     # matrix).
     n = 16
-    x0q, xfq = _grid3d_scenario(n, nx=12)
+    x0q, xfq = _grid3d_scenario(n, spacing=0.85, nx=12)
     fleetq = dtl.homogeneous_fleet(dtl.QUAD_12D, n, dt)
     costq = dtl.make_game_cost(
         jnp.asarray(xfq, dtype),

@@ -555,8 +555,12 @@ def ilqr_solve(
     import dataclasses
 
     backend = resolve_sweep_backend(config, fleet, U0.shape[0], (x0,))
-    shape_key = (fleet, U0.shape[0], str(x0.dtype), config.n_ls_iter)
-    if backend == "pallas" and shape_key in _VMEM_FALLBACK_CACHE:
+    from ..utils import negcache
+
+    shape_key = negcache.shape_key(
+        "central", fleet, U0.shape[0], str(x0.dtype), config.n_ls_iter
+    )
+    if backend == "pallas" and shape_key in _vmem_fallback_cache():
         backend = "pscan"
     config = dataclasses.replace(config, sweep_backend=backend)
     try:
@@ -577,13 +581,24 @@ def ilqr_solve(
             RuntimeWarning,
             stacklevel=2,
         )
-        _VMEM_FALLBACK_CACHE.add(shape_key)
+        negcache.add(shape_key, _vmem_fallback_cache())
         config = dataclasses.replace(config, sweep_backend="pscan")
         return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
 
 
-# Shapes whose pallas compile failed with a memory error this process.
-_VMEM_FALLBACK_CACHE: set = set()
+# Shapes whose pallas compile failed with a memory error -- seeded from
+# the persistent negative cache (utils/negcache.py) so later PROCESSES
+# also skip the doomed compile, not just later calls.
+_VMEM_FALLBACK: set | None = None
+
+
+def _vmem_fallback_cache() -> set:
+    global _VMEM_FALLBACK
+    if _VMEM_FALLBACK is None:
+        from ..utils import negcache
+
+        _VMEM_FALLBACK = negcache.load()
+    return _VMEM_FALLBACK
 
 
 def is_vmem_error(e: Exception) -> bool:

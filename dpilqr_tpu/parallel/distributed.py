@@ -204,9 +204,13 @@ def solve_distributed(
 
     from ..ops.pallas_batched import resolve_batched_backend
 
-    shape_key = (fleet, U.shape[0], K, n, str(X.dtype), config.n_ls_iter)
+    from ..utils import negcache
+
+    shape_key = negcache.shape_key(
+        "batched", fleet, U.shape[0], K, n, str(X.dtype), config.n_ls_iter
+    )
     backend = resolve_batched_backend(config, fleet, U.shape[0], K, n, (X,))
-    if backend == "pallas" and shape_key in _VMEM_FALLBACK_CACHE:
+    if backend == "pallas" and shape_key in _vmem_fallback_cache():
         backend = "xla"
     config = dataclasses.replace(config, sweep_backend=backend)
     try:
@@ -230,13 +234,23 @@ def solve_distributed(
             RuntimeWarning,
             stacklevel=2,
         )
-        _VMEM_FALLBACK_CACHE.add(shape_key)
+        negcache.add(shape_key, _vmem_fallback_cache())
         config = dataclasses.replace(config, sweep_backend="xla")
         return _solve_distributed(
             fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
         )
 
 
-# Shapes whose pallas compile failed with a memory error this process:
-# resolved straight to the XLA path on subsequent calls.
-_VMEM_FALLBACK_CACHE: set = set()
+# Shapes whose pallas compile failed with a memory error -- seeded from
+# the persistent negative cache (utils/negcache.py) so later PROCESSES
+# resolve straight to the XLA path too.
+_VMEM_FALLBACK: set | None = None
+
+
+def _vmem_fallback_cache() -> set:
+    global _VMEM_FALLBACK
+    if _VMEM_FALLBACK is None:
+        from ..utils import negcache
+
+        _VMEM_FALLBACK = negcache.load()
+    return _VMEM_FALLBACK

@@ -313,6 +313,21 @@ class TestVmemFallback:
     time, the solve retries on the compiler-scheduled backend instead of
     surfacing a Mosaic OOM (VERDICT r2 weakness 8)."""
 
+    @pytest.fixture(autouse=True)
+    def _hermetic_negcache(self, monkeypatch, tmp_path):
+        # The fallback now persists negative decisions across processes
+        # (utils/negcache.py); synthetic failures must not leak into the
+        # real cache file nor the module-level sets.
+        from dpilqr_tpu.utils import negcache
+        from dpilqr_tpu.ops import ilqr as ilqr_mod
+        from dpilqr_tpu.parallel import distributed as dist
+
+        monkeypatch.setattr(
+            negcache, "_PATH", str(tmp_path / "negcache.json")
+        )
+        monkeypatch.setattr(ilqr_mod, "_VMEM_FALLBACK", set())
+        monkeypatch.setattr(dist, "_VMEM_FALLBACK", set())
+
     def test_classifier(self):
         from dpilqr_tpu.ops.ilqr import is_vmem_error
 

@@ -564,7 +564,9 @@ def ilqr_solve(
         backend = "pscan"
     config = dataclasses.replace(config, sweep_backend=backend)
     try:
-        return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
+        return retry_transient(
+            lambda: _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
+        )
     except Exception as e:  # noqa: BLE001 -- filtered by is_vmem_error
         if config.sweep_backend not in ("pallas",) or not is_vmem_error(e):
             raise
@@ -583,7 +585,10 @@ def ilqr_solve(
         )
         negcache.add(shape_key, _vmem_fallback_cache())
         config = dataclasses.replace(config, sweep_backend="pscan")
-        return _ilqr_solve(fleet, U0.shape[0], config, cost, x0, U0)
+        cfg2 = config
+        return retry_transient(
+            lambda: _ilqr_solve(fleet, U0.shape[0], cfg2, cost, x0, U0)
+        )
 
 
 # Shapes whose pallas compile failed with a memory error -- seeded from
@@ -599,6 +604,49 @@ def _vmem_fallback_cache() -> set:
 
         _VMEM_FALLBACK = negcache.load()
     return _VMEM_FALLBACK
+
+
+def is_transient_compile_error(e: Exception) -> bool:
+    """A remote-compile TRANSPORT failure (helper restart, dropped HTTP
+    body, connection reset) -- retryable, unlike a genuine compile error."""
+    s = str(e)
+    if "remote_compile" not in s:
+        return False
+    return any(
+        tok in s
+        for tok in (
+            "read body",
+            "closed before",
+            "Connection refused",
+            "connection reset",
+            "HTTP 502",
+            "HTTP 503",
+            "timed out",
+        )
+    )
+
+
+def retry_transient(fn, attempts: int = 3):
+    """Run ``fn()`` retrying transient remote-compile transport failures
+    (is_transient_compile_error) with a short pause; any other exception
+    propagates immediately.  The compile helper occasionally drops a
+    response mid-read; re-dispatching the identical program succeeds."""
+    import time as _time
+    import warnings
+
+    for k in range(attempts):
+        try:
+            return fn()
+        except Exception as e:  # noqa: BLE001 -- filtered below
+            if k == attempts - 1 or not is_transient_compile_error(e):
+                raise
+            warnings.warn(
+                f"transient compile-helper failure (attempt {k + 1}/"
+                f"{attempts}): {e!s:.120}; retrying",
+                RuntimeWarning,
+                stacklevel=2,
+            )
+            _time.sleep(2.0 * (k + 1))
 
 
 def is_vmem_error(e: Exception) -> bool:

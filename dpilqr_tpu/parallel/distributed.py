@@ -213,9 +213,14 @@ def solve_distributed(
     if backend == "pallas" and shape_key in _vmem_fallback_cache():
         backend = "xla"
     config = dataclasses.replace(config, sweep_backend=backend)
+    from ..ops.ilqr import retry_transient
+
     try:
-        return _solve_distributed(
-            fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
+        cfg1 = config
+        return retry_transient(
+            lambda: _solve_distributed(
+                fleet, cfg1, K, graph_n_d, cost, X, U, radius, ignore_mask
+            )
         )
     except Exception as e:  # noqa: BLE001 -- filtered by is_vmem_error
         from ..ops.ilqr import is_vmem_error
@@ -236,8 +241,11 @@ def solve_distributed(
         )
         negcache.add(shape_key, _vmem_fallback_cache())
         config = dataclasses.replace(config, sweep_backend="xla")
-        return _solve_distributed(
-            fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
+        cfg2 = config
+        return retry_transient(
+            lambda: _solve_distributed(
+                fleet, cfg2, K, graph_n_d, cost, X, U, radius, ignore_mask
+            )
         )
 
 

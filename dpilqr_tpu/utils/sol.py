@@ -66,7 +66,9 @@ def backward_step_flops(K: int, nx_p: int, nu_p: int) -> int:
     fl += 2 * nuf * nuf + nuf  # w = Q_uu d + Q_u
     fl += 2 * nuf * nxf * 2 + 2 * nxf  # p' = Q_x + K^T w + Q_ux^T d
     fl += 2 * nuf * nuf * nxf  # QuuK = Q_uu K
-    fl += 3 * (2 * nuf * nxf * nxf)  # K^T QuuK + K^T Q_ux + Q_ux^T K
+    # K^T QuuK + K^T Q_ux; Q_ux^T K is the TRANSPOSE of the latter (no
+    # FLOPs -- the kernel reuses the contraction).
+    fl += 2 * (2 * nuf * nxf * nxf)
     fl += 3 * nxf * nxf  # adds + symmetrization
     return fl
 
@@ -324,6 +326,13 @@ def kernel_sol(
     ``t_compute = flops / vpu_peak`` vs ``t_memory = bytes / hbm_bw``.
     Both microbenchmark ceilings are measured on this chip, in this
     process, with kernels of the same structure.
+
+    Interpretation: the measured ceilings are CONSERVATIVE (the probe
+    kernel cannot exceed true silicon peak, and measures ~75% of the
+    nominal 8x128x2xclock VPU rate), so ``sol_frac`` can exceed 1.0 --
+    that reads "the kernel out-issues the measuring instrument", i.e. it
+    is at the VPU bound and further gains require fewer FLOPs, not better
+    scheduling.
     """
     if family == "backward":
         fl = backward_step_flops(K, nx_p, nu_p) * N * S * launches

@@ -576,3 +576,55 @@ def test_is_vmem_error_matches_current_mosaic_message():
     assert is_vmem_error(ei.value), (
         f"classifier missed live Mosaic message: {ei.value!s:.300}"
     )
+
+
+class TestTransientCompileRetry:
+    """retry_transient: transient remote-compile transport failures are
+    retried; real errors propagate immediately."""
+
+    def test_classifier(self):
+        from dpilqr_tpu.ops.ilqr import is_transient_compile_error
+
+        assert is_transient_compile_error(RuntimeError(
+            "INTERNAL: http://127.0.0.1:8093/remote_compile: read body: "
+            "response body closed before all bytes were read"
+        ))
+        assert not is_transient_compile_error(RuntimeError(
+            "remote_compile: HTTP 500: tpu_compile_helper subprocess exit "
+            "code 1"
+        ))
+        assert not is_transient_compile_error(ValueError("shape mismatch"))
+
+    def test_retries_then_succeeds(self, monkeypatch):
+        import time as _time
+
+        from dpilqr_tpu.ops import ilqr as ilqr_mod
+
+        monkeypatch.setattr(_time, "sleep", lambda s: None)
+        calls = []
+
+        def flaky():
+            calls.append(1)
+            if len(calls) < 3:
+                raise RuntimeError(
+                    "remote_compile: read body: response body closed "
+                    "before all bytes were read"
+                )
+            return "ok"
+
+        with pytest.warns(RuntimeWarning, match="transient"):
+            assert ilqr_mod.retry_transient(flaky) == "ok"
+        assert len(calls) == 3
+
+    def test_real_error_propagates(self):
+        from dpilqr_tpu.ops.ilqr import retry_transient
+
+        calls = []
+
+        def broken():
+            calls.append(1)
+            raise ValueError("genuine bug")
+
+        with pytest.raises(ValueError, match="genuine bug"):
+            retry_transient(broken)
+        assert len(calls) == 1

@@ -341,10 +341,14 @@ def _sol_extras(dtl, cfg, N, dt, radius):
     Kg, d = bw(X, U, mu)
     sync(fw(X, U, Kg, d))
 
-    def best_of(fn, reps=50):
+    def best_of(fn, reps=200):
         # Two-point extrapolation cancels the dispatch+fetch barrier; min
-        # each rep count separately before differencing (differencing raw
-        # pairs biases toward barrier noise).
+        # each rep count separately before differencing, and escalate the
+        # rep count until the diff clearly exceeds barrier noise
+        # (utils/sol._diff_time).  The tunnel's sync jitter reaches tens
+        # of ms, so the diff signal must be >= 100 ms.
+        from dpilqr_tpu.utils.sol import _diff_time
+
         def timed(r):
             t0 = time.perf_counter()
             for _ in range(r):
@@ -352,9 +356,8 @@ def _sol_extras(dtl, cfg, N, dt, radius):
             sync(out)
             return time.perf_counter() - t0
 
-        t1 = min(timed(reps) for _ in range(3))
-        t2 = min(timed(2 * reps) for _ in range(3))
-        return max(t2 - t1, 1e-9) / reps
+        d, r = _diff_time(timed, reps, 5, min_signal=0.1)
+        return d / r
 
     t_bw = best_of(lambda: bw(X, U, mu))
     t_fw = best_of(lambda: fw(X, U, Kg, d))

@@ -37,6 +37,23 @@ def _sync(x) -> float:
     return float(np.asarray(jnp.sum(x)))
 
 
+def _diff_time(timed, inner: int, reps: int, min_signal: float = 0.02):
+    """Two-point extrapolated time of ``inner`` calls, with the rep count
+    escalated until the difference signal clearly exceeds barrier noise
+    (the tunnel's sync jitter is tens of ms; a small negative diff floored
+    at epsilon would otherwise produce absurd rates).  Returns
+    ``(seconds_for_r_calls, r)``."""
+    d, r = 0.0, inner
+    for scale in (1, 2, 4, 8):
+        r = inner * scale
+        t1 = min(timed(r) for _ in range(reps))
+        t2 = min(timed(2 * r) for _ in range(reps))
+        d = t2 - t1
+        if d > min_signal:
+            return d, r
+    return max(d, 1e-9), r
+
+
 # ---------------------------------------------------------------------------
 # Work counts (per subproblem, per time step) for the batched sweeps.
 # ---------------------------------------------------------------------------
@@ -198,10 +215,9 @@ def measure_vpu_peak_gflops(S: int = 512, rows: int = 256, iters: int = 2048,
         _sync(out)
         return perf_counter() - t0
 
-    t1 = min(timed(inner) for _ in range(reps))
-    t2 = min(timed(2 * inner) for _ in range(reps))
-    flops = 4 * 8 * rows * S * iters * inner
-    return flops / max(t2 - t1, 1e-9) / 1e9
+    d, r = _diff_time(timed, inner, reps)
+    flops = 4 * 8 * rows * S * iters * r
+    return flops / d / 1e9
 
 
 @functools.cache
@@ -256,10 +272,8 @@ def measure_hbm_stream_gbps(mb: int = 256, reps: int = 5) -> float:
         _sync(out)
         return perf_counter() - t0
 
-    inner = 8
-    t1 = min(timed(inner) for _ in range(reps))
-    t2 = min(timed(2 * inner) for _ in range(reps))
-    return T * blk * blk * 4 * inner / max(t2 - t1, 1e-9) / 1e9
+    d, r = _diff_time(timed, 16, reps)
+    return T * blk * blk * 4 * r / d / 1e9
 
 
 def pscan_sweep_flops(N: int, nxf: int) -> int:
@@ -296,10 +310,8 @@ def measure_mxu_peak_gflops(m: int = 1024, reps: int = 5) -> float:
         _sync(out)
         return perf_counter() - t0
 
-    inner = 8
-    t1 = min(timed(inner) for _ in range(reps))
-    t2 = min(timed(2 * inner) for _ in range(reps))
-    return 8 * 2 * m**3 * inner / max(t2 - t1, 1e-9) / 1e9
+    d, r = _diff_time(timed, 8, reps)
+    return 8 * 2 * m**3 * r / d / 1e9
 
 
 # ---------------------------------------------------------------------------

@@ -56,3 +56,19 @@ def test_kernel_sol_report(monkeypatch):
 
 def test_pscan_flops_model():
     assert sol.pscan_sweep_flops(100, 32) == 2 * 100 * 12 * 2 * 32**3
+
+
+def test_diff_time_escalates_past_noise():
+    # Simulated: per-call cost 1 ms, constant 30 ms barrier noise.  Small
+    # rep counts give diffs below the signal floor; escalation reaches a
+    # rep count whose diff clearly exceeds it and returns (d, r) with
+    # d/r ~= the true per-call cost.
+    calls = []
+
+    def timed(r):
+        calls.append(r)
+        return 0.030 + 0.001 * r
+
+    d, r = sol._diff_time(timed, 10, 2, min_signal=0.05)
+    assert d == pytest.approx(0.001 * r, rel=1e-6)
+    assert r >= 50  # escalated past 10 and 20

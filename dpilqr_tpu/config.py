@@ -63,20 +63,6 @@ class SolverConfig:
     # VMEM).  Resolved by the solver entry points before tracing.
     sweep_backend: str = "auto"
 
-    # Performance mode (default off = exact reference arithmetic).  The
-    # reference's value recursion uses the full-form update
-    # V_x = Q_x + K^T(Q_uu d + Q_u) + Q_ux^T d,
-    # V_xx = Q_xx + K^T Q_uu K + K^T Q_ux + Q_ux^T K (control.py:144-146).
-    # With the EXACT minimizer K = -Q_uu^{-1} Q_ux, d = -Q_uu^{-1} Q_u this
-    # collapses to V_x = Q_x + Q_ux^T d, V_xx = Q_xx + Q_ux^T K -- the
-    # standard DDP simplification, ~43% fewer backward-sweep FLOPs.  In
-    # float32 the two differ by accumulated rounding (kappa(P) ~ 1e4 over
-    # 50 steps) enough to flip knife-edge line-search accepts, so the flag
-    # is opt-in; converged costs agree to the solver tolerance.  Applies
-    # to the XLA scans and the batched/wide Pallas kernels (the
-    # centralized fused kernels keep the full form).
-    fast_value_update: bool = False
-
     # Conditioning guard (default off = exact reference behavior).  The
     # reference zeroes mu once it decays past MU_MIN (control.py:236), so a
     # deep proximity penetration can drive the unregularized Q_uu solve to

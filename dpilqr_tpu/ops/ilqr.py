@@ -191,13 +191,10 @@ def gauss_jordan_solve(M, R):
     return MR[:, m:]
 
 
-def _backward_pass(lin_fn, cost: GameCost, X, U, mu, fast_update=False):
+def _backward_pass(lin_fn, cost: GameCost, X, U, mu):
     """Block Riccati recursion (reference control.py:116-148).
 
     Returns flat gains ``K: (N, n*nu_p, n*nx_p)`` and ``d: (N, n*nu_p)``.
-
-    ``fast_update``: DDP-simplified value recursion
-    (SolverConfig.fast_value_update) instead of the reference full form.
 
     Structure: quadraticization and linearization depend only on (X, U), so
     they hoist OUT of the sequential sweep as one time-batched computation
@@ -266,15 +263,9 @@ def _backward_pass(lin_fn, cost: GameCost, X, U, mu, fast_update=False):
         K_t = -sol[:, :nxf]
         d_t = -sol[:, nxf]
 
-        if fast_update:
-            # DDP simplification under the exact minimizer (see
-            # SolverConfig.fast_value_update).
-            p_new = Qx + Qux.T @ d_t
-            P_new = Qxx + Qux.T @ K_t
-        else:
-            KtQuu = K_t.T @ Quu
-            p_new = Qx + KtQuu @ d_t + K_t.T @ Qu + Qux.T @ d_t
-            P_new = Qxx + KtQuu @ K_t + K_t.T @ Qux + Qux.T @ K_t
+        KtQuu = K_t.T @ Quu
+        p_new = Qx + KtQuu @ d_t + K_t.T @ Qu + Qux.T @ d_t
+        P_new = Qxx + KtQuu @ K_t + K_t.T @ Qux + Qux.T @ K_t
         P_new = 0.5 * (P_new + P_new.T)
         return (p_new, P_new), (K_t, d_t)
 
@@ -380,10 +371,7 @@ def make_iteration_fn(
 
                 K, d = backward_pass_pscan(lin_fn, cost, c.X, c.U, c.mu)
             else:
-                K, d = _backward_pass(
-                    lin_fn, cost, c.X, c.U, c.mu,
-                    fast_update=cfg.fast_value_update,
-                )
+                K, d = _backward_pass(lin_fn, cost, c.X, c.U, c.mu)
 
             def _fwd(alpha):
                 return _forward_pass(step_fn, cost, c.X, c.U, K, d, alpha)

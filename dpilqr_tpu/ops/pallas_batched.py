@@ -359,16 +359,12 @@ def backward_pass_batched(
     U,
     mu,
     interpret: bool = False,
-    fast_update: bool = False,
 ):
     """Batched fused Riccati sweep (reference control.py:116-148).
 
     ``X (S, N+1, K, nx_p)``, ``U (S, N, K, nu_p)``, ``mu (S,)``.
     Returns ``Kg (N, nuf, nxf, S)`` and ``d (N, nuf, S)`` (kernel-native
     layout; see forward_pass_batched which consumes them directly).
-
-    ``fast_update``: DDP-simplified value recursion (~43% fewer FLOPs;
-    SolverConfig.fast_value_update) instead of the reference's full form.
     """
     S, Np1, K, nx_p = X.shape
     N = Np1 - 1
@@ -419,36 +415,26 @@ def backward_pass_batched(
         Kg_ref[0] = K_t
         d_ref[0] = d_t
 
-        if fast_update:
-            # DDP simplification under the exact minimizer (see
-            # SolverConfig.fast_value_update): V_x = Q_x + Q_ux^T d,
-            # V_xx = Q_xx + Q_ux^T K.
-            p_s[:] = Q_x + _t_dot_vec(Q_ux, d_t, nuf)
-            P_new = Q_xx + _t_dot(Q_ux, K_t, nuf)
-            P_s[:] = 0.5 * (P_new + jnp.transpose(P_new, (1, 0, 2)))
-        else:
-            # Full-form value update exactly as the reference / XLA path
-            # (control.py:144-146): the DDP-simplified form is
-            # algebraically equal but numerically different enough in
-            # float32 (kappa(P) ~ 1e4 over 50 sequential steps) to flip
-            # borderline line-search accepts against the XLA path.
-            w = _t_dot_vec(Q_uu, d_t, nuf) + Q_u  # Q_uu d + Q_u (symmetry)
-            p_s[:] = (
-                Q_x + _t_dot_vec(K_t, w, nuf) + _t_dot_vec(Q_ux, d_t, nuf)
-            )
-            QuuK = _t_dot(Q_uu, K_t, nuf)  # Q_uu K (symmetric Q_uu)
-            # Q_ux^T K is the elementwise transpose of K^T Q_ux (same
-            # products, same v-accumulation order -> bitwise equal), so
-            # compute the 2*nuf*nxf^2 contraction once and transpose --
-            # ~20% fewer backward-kernel FLOPs at K=8/nx=4.
-            KtQux = _t_dot(K_t, Q_ux, nuf)  # K^T Q_ux
-            P_new = (
-                Q_xx
-                + _t_dot(K_t, QuuK, nuf)  # K^T Q_uu K
-                + KtQux
-                + jnp.transpose(KtQux, (1, 0, 2))  # Q_ux^T K
-            )
-            P_s[:] = 0.5 * (P_new + jnp.transpose(P_new, (1, 0, 2)))
+        # Full-form value update exactly as the reference / XLA path
+        # (control.py:144-146): the DDP-simplified form (Q_x + Q_ux^T d)
+        # is algebraically equal but loses the float32 Q_uu d + Q_u
+        # correction -- MEASURED to collapse convergence at scale (14% vs
+        # 100% converged at 500 agents), so no fast-update mode exists.
+        w = _t_dot_vec(Q_uu, d_t, nuf) + Q_u  # Q_uu d + Q_u (symmetry)
+        p_s[:] = Q_x + _t_dot_vec(K_t, w, nuf) + _t_dot_vec(Q_ux, d_t, nuf)
+        QuuK = _t_dot(Q_uu, K_t, nuf)  # Q_uu K (symmetric Q_uu)
+        # Q_ux^T K is the elementwise transpose of K^T Q_ux (same
+        # products, same v-accumulation order -> bitwise equal), so
+        # compute the 2*nuf*nxf^2 contraction once and transpose --
+        # ~20% fewer backward-kernel FLOPs at K=8/nx=4.
+        KtQux = _t_dot(K_t, Q_ux, nuf)  # K^T Q_ux
+        P_new = (
+            Q_xx
+            + _t_dot(K_t, QuuK, nuf)  # K^T Q_uu K
+            + KtQux
+            + jnp.transpose(KtQux, (1, 0, 2))  # Q_ux^T K
+        )
+        P_s[:] = 0.5 * (P_new + jnp.transpose(P_new, (1, 0, 2)))
 
     Kg, d = pl.pallas_call(
         kernel,
@@ -939,13 +925,11 @@ def batched_iteration(
         from .pallas_batched_wide import backward_pass_batched_wide
 
         Kg, dv = backward_pass_batched_wide(
-            fleet, sub_cost, mids_s, c.X, c.U, c.mu, interpret=interpret,
-            fast_update=cfg.fast_value_update,
+            fleet, sub_cost, mids_s, c.X, c.U, c.mu, interpret=interpret
         )
     else:
         Kg, dv = backward_pass_batched(
-            fleet, sub_cost, mids_s, c.X, c.U, c.mu, interpret=interpret,
-            fast_update=cfg.fast_value_update,
+            fleet, sub_cost, mids_s, c.X, c.U, c.mu, interpret=interpret
         )
     X5, U5, J_c = forward_pass_batched(
         fleet, sub_cost, branch_row, c.X, c.U, Kg, dv, alphas,

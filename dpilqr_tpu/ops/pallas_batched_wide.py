@@ -85,7 +85,6 @@ def backward_pass_batched_wide(
     U,
     mu,
     interpret: bool = False,
-    fast_update: bool = False,
 ):
     """Blocked batched fused Riccati sweep (reference control.py:116-148).
 
@@ -245,27 +244,18 @@ def backward_pass_batched_wide(
                 for vi in range(nu_p)
             )
 
-        if fast_update:
-            # DDP simplification (SolverConfig.fast_value_update).
-            p_s[:] = Q_x + t_dot_vec(Q_ux, d_t, nx_p)
-            P_new = Q_xx + t_dot(Q_ux, K_t, nx_p, nx_p)
-            P_s[:] = 0.5 * (P_new + jnp.transpose(P_new, (1, 0, 3, 2, 4)))
-        else:
-            # Full-form value update, same term order as the unrolled
-            # kernel.
-            w = t_dot_vec(Q_uu, d_t, nu_p) + Q_u
-            p_s[:] = (
-                Q_x + t_dot_vec(K_t, w, nx_p) + t_dot_vec(Q_ux, d_t, nx_p)
-            )
-            QuuK = t_dot(Q_uu, K_t, nu_p, nx_p)  # [ub, xb, u, x]
-            KtQux = t_dot(K_t, Q_ux, nx_p, nx_p)
-            P_new = (
-                Q_xx
-                + t_dot(K_t, QuuK, nx_p, nx_p)
-                + KtQux
-                + jnp.transpose(KtQux, (1, 0, 3, 2, 4))
-            )
-            P_s[:] = 0.5 * (P_new + jnp.transpose(P_new, (1, 0, 3, 2, 4)))
+        # Full-form value update, same term order as the unrolled kernel.
+        w = t_dot_vec(Q_uu, d_t, nu_p) + Q_u
+        p_s[:] = Q_x + t_dot_vec(K_t, w, nx_p) + t_dot_vec(Q_ux, d_t, nx_p)
+        QuuK = t_dot(Q_uu, K_t, nu_p, nx_p)  # [ub, xb, u, x]
+        KtQux = t_dot(K_t, Q_ux, nx_p, nx_p)
+        P_new = (
+            Q_xx
+            + t_dot(K_t, QuuK, nx_p, nx_p)
+            + KtQux
+            + jnp.transpose(KtQux, (1, 0, 3, 2, 4))
+        )
+        P_s[:] = 0.5 * (P_new + jnp.transpose(P_new, (1, 0, 3, 2, 4)))
 
     Kg_b, d_b = pl.pallas_call(
         kernel,

@@ -241,45 +241,3 @@ class TestOnTpuParity:
             float(out["pallas"].J), float(out["xla"].J), rtol=5e-3
         )
 
-
-class TestFastValueUpdate:
-    """SolverConfig.fast_value_update: DDP-simplified value recursion
-    (opt-in).  Solutions agree with the reference full form to the solver
-    tolerance, and the XLA and kernel paths agree with each other exactly
-    under the flag."""
-
-    def test_quality_and_cross_backend_parity(self):
-        fleet, cost, X0, U0, radius = _problem(6, 8, jnp.float64, seed=13)
-        full = _run(fleet, cost, X0, U0, radius, 4, "xla", n_iter=10)
-
-        import dataclasses
-
-        cfgf = dataclasses.replace(
-            SolverConfig(n_lqr_iter=10, tol=1e-3, sweep_backend="xla"),
-            fast_value_update=True,
-        )
-        n = X0.shape[1]
-        fast_x = _solve_distributed(
-            fleet, cfgf, 4, None, cost, X0, U0, radius,
-            jnp.zeros((n,), bool),
-        )
-        cfgp = dataclasses.replace(cfgf, sweep_backend="pallas-interpret")
-        fast_p = _solve_distributed(
-            fleet, cfgp, 4, None, cost, X0, U0, radius,
-            jnp.zeros((n,), bool),
-        )
-        # Fast == fast across backends (same simplified math).
-        np.testing.assert_array_equal(
-            np.asarray(fast_x.iters), np.asarray(fast_p.iters)
-        )
-        np.testing.assert_allclose(
-            np.asarray(fast_p.X), np.asarray(fast_x.X), atol=1e-8
-        )
-        # Fast ~= full in solution quality (solver tolerance scale).
-        np.testing.assert_allclose(
-            float(fast_x.J), float(full.J), rtol=5e-3
-        )
-
-    def test_default_off_unchanged(self):
-        # The flag's default must leave the reference-exact path intact.
-        assert SolverConfig().fast_value_update is False

@@ -361,6 +361,42 @@ def _sol_extras(dtl, cfg, N, dt, radius):
 
     t_bw = best_of(lambda: bw(X, U, mu))
     t_fw = best_of(lambda: fw(X, U, Kg, d))
+
+    # Third kernel family: the associative-scan Riccati combine (XLA
+    # matmuls; long-horizon centralized path).  Measured at N=200 on a
+    # 4-agent problem against the fp32 matmul ceiling.
+    from dpilqr_tpu.ops.pscan import backward_pass_pscan
+
+    n_ps, N_ps = 4, 200
+    fleet_ps = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n_ps, dt)
+    x0p, xfp = _grid_scenario(n_ps, seed=2)
+    cost_ps = dtl.make_game_cost(
+        jnp.asarray(xfp, dtype),
+        jnp.asarray(np.tile(np.eye(4), (n_ps, 1, 1)), dtype),
+        jnp.asarray(np.tile(np.eye(2), (n_ps, 1, 1)), dtype),
+        jnp.asarray(np.tile(1e3 * np.eye(4), (n_ps, 1, 1)), dtype),
+        radius=radius,
+    )
+    Xp = jnp.asarray(
+        0.1 * rng.normal(size=(N_ps + 1, n_ps, 4)).astype(np.float32)
+    )
+    Up = jnp.asarray(0.1 * rng.normal(size=(N_ps, n_ps, 2)).astype(np.float32))
+    mup = jnp.asarray(1.0, dtype)
+    ps = jax.jit(
+        lambda X, U, mu: backward_pass_pscan(
+            fleet_ps.linearize, cost_ps, X, U, mu
+        )
+    )
+    sync(ps(Xp, Up, mup))
+    t_ps = best_of(lambda: ps(Xp, Up, mup))
+    nxf_ps = n_ps * 4
+    fl_ps = sol.pscan_sweep_flops(N_ps, nxf_ps)
+    mxu = sol.measure_mxu_peak_gflops()
+    ps_extras = {
+        "pscan_gflop_s": round(fl_ps / t_ps / 1e9, 1),
+        "pscan_sol_frac": round(fl_ps / t_ps / 1e9 / mxu, 3),
+        "mxu_ceiling_gflop_s": round(mxu, 1),
+    }
     rep_bw = sol.kernel_sol("backward", N, K, 4, 2, S, n_alpha, t_bw)
     rep_fw = sol.kernel_sol(
         "forward", N, K, 4, 2, S, n_alpha, t_fw, substeps=5
@@ -374,6 +410,7 @@ def _sol_extras(dtl, cfg, N, dt, radius):
         "forward_bound": rep_fw["binding_limit"],
         "vpu_ceiling_gflop_s": rep_bw["ceiling_vpu_gflop_s"],
         "hbm_ceiling_gb_s": rep_bw["ceiling_hbm_gb_s"],
+        **ps_extras,
     }
 
 

@@ -288,25 +288,32 @@ def pscan_sweep_flops(N: int, nxf: int) -> int:
 
 @functools.cache
 def measure_mxu_peak_gflops(m: int = 1024, reps: int = 5) -> float:
-    """Achievable fp32 matmul FLOP/s through XLA (the pscan combines are
-    XLA matmuls, not Pallas): a chain of (m, m) @ (m, m) products.
-    Returns GFLOP/s."""
-    a = jnp.eye(m, dtype=jnp.float32) * 0.999 + 0.001
+    """Achievable matmul FLOP/s through XLA for float32 INPUTS at the
+    DEFAULT precision (TPU lowers them to bf16 MXU passes -- measured
+    ~134 TFLOP/s on v5e, ~68% of the nominal 197 bf16 peak), which is
+    exactly how the pscan combines execute.  A chain of data-dependent
+    (m, m) @ (m, m) products with the multiplier as a traced argument
+    (a closure constant lets XLA fold the chain into one matmul against
+    a precomputed power).  Returns GFLOP/s."""
+    # ``a`` must be a traced ARGUMENT: as a closure constant XLA constant-
+    # folds the chain x@a@...@a into one matmul against a precomputed a^8,
+    # inflating the measured rate 8x (observed).
+    a0 = jnp.eye(m, dtype=jnp.float32) * 0.999 + 0.001
 
     @jax.jit
-    def chain(x):
+    def chain(x, a):
         for _ in range(8):
             x = x @ a
         return x
 
     x = jnp.ones((m, m), jnp.float32)
-    _sync(chain(x))
+    _sync(chain(x, a0))
 
     def timed(r):
         t0 = perf_counter()
         out = x
         for _ in range(r):
-            out = chain(out)
+            out = chain(out, a0)
         _sync(out)
         return perf_counter() - t0
 
@@ -345,6 +352,12 @@ def kernel_sol(
     that reads "the kernel out-issues the measuring instrument", i.e. it
     is at the VPU bound and further gains require fewer FLOPs, not better
     scheduling.
+
+    Caveat: the remote TPU compiler's scheduling is NONDETERMINISTIC
+    across compile instances -- the same backward kernel has measured
+    0.42 and 1.45 TFLOP/s in different processes (3.5x, far beyond the
+    timing error).  A sol_frac is therefore a property of THAT compile;
+    the best observed instance bounds what the kernel design achieves.
     """
     if family == "backward":
         fl = backward_step_flops(K, nx_p, nu_p) * N * S * launches

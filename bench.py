@@ -191,9 +191,10 @@ def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
     """BASELINE.json configs 3 + 5: the heterogeneous
     DoubleInt4D+Car3D+Bike5D fleet and the quadcopter swarm
     (Quad6D at 64 agents = config 5's nearest runnable single-chip form,
-    plus a Quad12D point).  Each reports its RESOLVED backend: mixed RK4
-    substeps (Bike5D uses 1, the rest 5) force the hetero fleet onto the
-    vmapped XLA path; the quad points ride the tiled batched kernels."""
+    plus a Quad12D point).  Each reports its RESOLVED backend: the hetero
+    fleet (mixed RK4 substeps via the per-column dh table) and Quad6D ride
+    the fused kernels; Quad12D at K=8 (nxf=96) honestly takes the XLA
+    scans."""
     import jax.numpy as jnp
 
     dtype = jnp.float32
@@ -252,8 +253,8 @@ def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
     })
 
     # Config 3: heterogeneous DoubleInt4D + Car3D + Bike5D fleet (zero-
-    # padded states).  Bike5D's rk4_substeps=1 vs 5 elsewhere makes the
-    # batched kernels inapplicable -- the honest number is the XLA path's.
+    # padded states; Bike5D's rk4_substeps=1 vs 5 elsewhere runs in-kernel
+    # via the per-column dh table; nxf=40 -> blocked wide backward).
     n = 99
     x0h, xfh = _swap_scenario(n, spacing=0.75)
     models = [dtl.DOUBLE_INT_4D, dtl.CAR_3D, dtl.BIKE_5D] * (n // 3)

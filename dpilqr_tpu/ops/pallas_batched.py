@@ -526,10 +526,15 @@ def forward_pass_batched(
     has_pairs = K > 1
     npairs = K * (K - 1) // 2 if has_pairs else 0
 
-    substeps_set = {s.rk4_substeps for s in fleet.specs}
-    if len(substeps_set) != 1:
-        raise ValueError("batched forward pass needs uniform RK4 substeps")
-    substeps = substeps_set.pop()
+    # Mixed RK4 schedules: run max(substeps) in-kernel with a PER-COLUMN
+    # step size table.  A column whose model uses fewer substeps gets
+    # dh = dt/s_m for its first s_m substeps and EXACTLY 0.0 afterwards:
+    # ``x + 0 * (...) = x`` bitwise, so its discrete map is the model's
+    # own s_m-substep RK4 (the masked stages burn VPU cycles but change
+    # nothing).  For uniform fleets every column gets the same constant
+    # rows and results are identical to the scalar-dh kernel.
+    substeps_list = [s.rk4_substeps for s in fleet.specs]
+    substeps = max(substeps_list) if substeps_list else 1
     dt = fleet.dt
     fleet_f = blended_f_smajor(fleet.specs, nx_p)
     mixed = branch_row is not None
@@ -613,6 +618,7 @@ def forward_pass_batched(
         pm_ref = refs[i]; i += 1
         pc_ref = refs[i]; i += 1
         ex_ref = refs[i]; i += 1
+        dh_ref = refs[i]; i += 1
         if mixed:
             bm_ref = refs[i]; i += 1
         Xo_ref = refs[i]; i += 1
@@ -712,8 +718,8 @@ def forward_pass_batched(
         J_s[:] = J_s[:] + stage_cost(x, u)
         Uo_ref[0] = u
 
-        dh = dt / substeps
-        for _ in range(substeps):
+        for i_sub in range(substeps):
+            dh = dh_ref[i_sub : i_sub + 1, :]  # (1, C) per-column step
             k0 = fleet_f(x, u, branch_masks)
             k1 = fleet_f(x + 0.5 * dh * k0, u, branch_masks)
             k2 = fleet_f(x + 0.5 * dh * k1, u, branch_masks)
@@ -732,8 +738,23 @@ def forward_pass_batched(
     for k_ in range(K):
         ex_np[k_, np.arange(nu_p), k_ * nu_p + np.arange(nu_p)] = 1.0
     ex = jnp.asarray(ex_np, dtype)
+    # Per-column RK4 step-size table (mixed-substeps support, see above):
+    # dh_table[i, b] = dt / s_b for substep i < s_b of branch b, else 0.
+    uniq = fleet._unique_specs if fleet.n_agents else ()
+    dh_np = np.zeros((substeps, max(len(uniq), 1)))
+    for b, spec in enumerate(uniq):
+        dh_np[: spec.rk4_substeps, b] = dt / spec.rk4_substeps
+    if mixed:
+        dh_rows = jnp.einsum(
+            "ib,bC->iC", jnp.asarray(dh_np, dtype),
+            jnp.asarray(branch_row, dtype),
+        )
+    else:
+        dh_rows = jnp.broadcast_to(
+            jnp.asarray(dh_np[:, :1], dtype), (substeps, C)
+        )
     ins = [Xr, Ur, G, dr, x0t, a_rowC, xfT, QT, RT, QfT, mrow, refw_row,
-           radius_row, proxw_row, pairmask, paircomp, ex]
+           radius_row, proxw_row, pairmask, paircomp, ex, dh_rows]
     if mixed:
         ins.append(jnp.asarray(branch_row, dtype))
     in_specs = [
@@ -1214,8 +1235,8 @@ def resolve_batched_backend(
     for a in arrays:
         if hasattr(a, "dtype") and jnp.dtype(a.dtype).itemsize == 8:
             return "xla"
-    if len({s.rk4_substeps for s in fleet.specs}) != 1:
-        return "xla"
+    # Mixed RK4 substeps run in-kernel via the per-column dh table
+    # (forward_pass_batched), so no uniformity requirement here.
     n_br = int(np.max(fleet.branch_index_array)) + 1 if fleet.n_agents else 1
     # Program-size envelope.  Up to nxf = K * nx_p = 32 the statically-
     # unrolled kernels compile (and are ~2x faster per launch than the

@@ -241,3 +241,21 @@ class TestOnTpuParity:
             float(out["pallas"].J), float(out["xla"].J), rtol=5e-3
         )
 
+
+
+def test_mixed_rk4_substeps():
+    # Bike5D integrates with 1 RK4 substep while the rest use 5: the
+    # kernel runs the max schedule with a per-column dh table (zeroed
+    # past a model's own substeps -- x + 0*(...) is exact), so mixed
+    # fleets ride the fused kernels.  Must match the XLA path exactly.
+    models = [dtl.DOUBLE_INT_4D, dtl.BIKE_5D, dtl.DOUBLE_INT_4D,
+              dtl.BIKE_5D]
+    assert len({m.rk4_substeps for m in models}) == 2
+    fleet, cost, X0, U0, radius = _problem(
+        4, 6, jnp.float64, models=models, seed=21
+    )
+    rx = _run(fleet, cost, X0, U0, radius, 4, "xla", n_iter=5)
+    rp = _run(fleet, cost, X0, U0, radius, 4, "pallas-interpret", n_iter=5)
+    np.testing.assert_array_equal(np.asarray(rx.iters), np.asarray(rp.iters))
+    np.testing.assert_allclose(np.asarray(rp.J), np.asarray(rx.J), rtol=1e-9)
+    np.testing.assert_allclose(np.asarray(rp.X), np.asarray(rx.X), atol=1e-8)

@@ -601,8 +601,18 @@ def main():
 
     # BASELINE.json configs 3 + 5 (previously unmeasured) and the
     # speed-of-light accounting (VERDICT r3 items 2 + 4).
-    extra.update(_model_family_points(dtl, cfg, N, dt, radius, time_solve))
-    extra.update(_sol_extras(dtl, cfg, N, dt, radius))
+    # These sections are SUPPLEMENTARY: a failure (e.g. a transient
+    # compile-helper outage mid-run) must not cost the round its headline
+    # artifact -- log to stderr and emit partial extras instead.
+    for section in (
+        lambda: _model_family_points(dtl, cfg, N, dt, radius, time_solve),
+        lambda: _sol_extras(dtl, cfg, N, dt, radius),
+    ):
+        try:
+            extra.update(section())
+        except Exception as e:  # noqa: BLE001 -- diagnostic, not control
+            print(f"bench section failed: {e!r:.300}", file=sys.stderr)
+            extra["section_error"] = f"{e!s:.200}"
 
     print(
         json.dumps(

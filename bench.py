@@ -498,29 +498,36 @@ def main():
             "iters": int(np.asarray(res.iters).sum()),
         }
 
-    # Sustained closed-loop MPC rate: 20 receding-horizon steps of
-    # solve_rhc (graph build, gather, batched solve, owner extraction,
-    # advance, warm-start shift, per-step host sync), honest auto-K.
-    ms_mpc_step, _ = closed_loop_run(n=100, n_steps=20, N=N, dt=dt,
-                                     radius=radius, cfg=cfg)
-    # 250/500-agent points pin K=8 (auto-K's width-growth sequence would
-    # compile several kernel widths at fresh shapes, blowing the bench
-    # budget) and assert the pin was wide enough -- truncation would make
-    # the numbers meaningless.
-    ms_mpc_step_250, res250 = closed_loop_run(
-        n=250, n_steps=20, N=N, dt=dt, radius=radius, K=8, cfg=cfg
-    )
-    max_nbhd_250 = max(
-        max(len(v) for v in s.graph.values()) for s in res250.steps
-    )
-    assert max_nbhd_250 <= 8, f"250-agent closed loop truncated: {max_nbhd_250}"
-    ms_mpc_step_500, res500 = closed_loop_run(
-        n=500, n_steps=15, N=N, dt=dt, radius=radius, K=8, cfg=cfg
-    )
-    max_nbhd_500 = max(
-        max(len(v) for v in s.graph.values()) for s in res500.steps
-    )
-    assert max_nbhd_500 <= 8, f"500-agent closed loop truncated: {max_nbhd_500}"
+    # Sustained closed-loop MPC rate: receding-horizon steps of solve_rhc
+    # (graph build, gather, batched solve, owner extraction, advance,
+    # warm-start shift, per-step host sync).  100 agents uses honest
+    # auto-K; 250/500 pin K=8 (auto-K's width-growth sequence would
+    # compile several kernel widths, blowing the bench budget) and assert
+    # the pin was wide enough -- truncation would make the numbers
+    # meaningless.  Each point is guarded: a failure records an error
+    # instead of costing the round the headline artifact.
+    cl_extra = {}
+
+    def _cl_point(name, n, n_steps, K_pin):
+        try:
+            ms, res = closed_loop_run(
+                n=n, n_steps=n_steps, N=N, dt=dt, radius=radius, K=K_pin,
+                cfg=cfg,
+            )
+            if K_pin is not None:
+                mx = max(
+                    max(len(v) for v in s.graph.values()) for s in res.steps
+                )
+                assert mx <= K_pin, f"{name} truncated: max nbhd {mx}"
+            cl_extra[f"ms_per_mpc_step_{name}"] = round(ms, 3)
+            cl_extra[f"hz_mpc_{name}"] = round(1000.0 / ms, 2)
+        except Exception as e:  # noqa: BLE001 -- diagnostic, not control
+            print(f"closed-loop {name} failed: {e!r:.300}", file=sys.stderr)
+            cl_extra[f"mpc_{name}_error"] = f"{e!s:.200}"
+
+    _cl_point("100", 100, 20, None)
+    _cl_point("250", 250, 20, 8)
+    _cl_point("500", 500, 15, 8)
 
     # 10-agent centralized (round-1 headline metric, kept for continuity).
     from dpilqr_tpu.ops.ilqr import resolve_sweep_backend
@@ -580,12 +587,7 @@ def main():
     block_nnz_per_s = nnz / (points[100]["ms"] / 1e3)
 
     extra = {
-        "ms_per_mpc_step_100": round(ms_mpc_step, 3),
-        "hz_mpc_100": round(1000.0 / ms_mpc_step, 2),
-        "ms_per_mpc_step_250": round(ms_mpc_step_250, 3),
-        "hz_mpc_250": round(1000.0 / ms_mpc_step_250, 2),
-        "ms_per_mpc_step_500": round(ms_mpc_step_500, 3),
-        "hz_mpc_500": round(1000.0 / ms_mpc_step_500, 2),
+        **cl_extra,
         "ms_10_centralized": round(ms10, 3),
         "backend_10_centralized": backend10,
         "iters_10_centralized": int(np.asarray(res10.iters)),

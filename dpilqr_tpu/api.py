@@ -744,7 +744,11 @@ def solve_subproblem(args, **kwargs):
     TPU path batches all subproblems into one program instead
     (parallel/distributed.py)."""
     subproblem, x0, U, id_, *rest = args
-    verbose = rest[0] if rest else kwargs.pop("verbose", False)
+    # Pop the kwarg unconditionally so it is never forwarded twice when a
+    # caller passes BOTH the 5-tuple args and verbose= (ADVICE r4).
+    verbose = kwargs.pop("verbose", False)
+    if rest:
+        verbose = rest[0]
     solver = ilqrSolver(subproblem, U.shape[0])
     Xi, Ui, _ = solver.solve(x0, U, verbose=verbose, **kwargs)
     return (*subproblem.extract(Xi, Ui, id_), id_)

@@ -1122,7 +1122,7 @@ def solve_subproblems_batched(
             jnp.arange(S, dtype=jnp.int32),
         )
 
-    if fits_vmem_batched(N, K, nx_p, nu_p, S_pad, cfg.n_ls_iter, n_br):
+    if fits_vmem_dispatch(cfg, N, K, nx_p, nu_p, S_pad, n_br):
         sub_cost, x0_s, U0_s, mids_s, enabled, S0 = pad_batch(
             cfg, sub_cost, x0_s, U0_s, mids_s, enabled
         )
@@ -1194,6 +1194,24 @@ def solve_subproblems_batched(
     return _carry_result(out, S0)
 
 
+def fits_vmem_dispatch(
+    cfg: SolverConfig, N: int, K: int, nx_p: int, nu_p: int, S: int,
+    n_br: int,
+) -> bool:
+    """VMEM fit for the kernels the batch would ACTUALLY run at this shape:
+    the forward/unrolled model always, PLUS the sublane-padding-aware wide
+    model when the backward routes to the blocked kernel (K*nx_p > 32).
+    Chunk sizing with the unrolled model alone over-estimated wide chunks
+    by up to 2.7x of sublane padding (ADVICE r4)."""
+    if not fits_vmem_batched(N, K, nx_p, nu_p, S, cfg.n_ls_iter, n_br):
+        return False
+    if K * nx_p > UNROLLED_NXF_LIMIT:
+        from .pallas_batched_wide import fits_vmem_wide
+
+        return fits_vmem_wide(N, K, nx_p, nu_p, S)
+    return True
+
+
 def chunk_size_batched(
     cfg: SolverConfig, N: int, K: int, nx_p: int, nu_p: int, n_br: int
 ) -> int:
@@ -1203,7 +1221,7 @@ def chunk_size_batched(
     unit = _pad_unit(cfg.n_ls_iter)
     best = 0
     Sc = unit
-    while fits_vmem_batched(N, K, nx_p, nu_p, Sc, cfg.n_ls_iter, n_br):
+    while fits_vmem_dispatch(cfg, N, K, nx_p, nu_p, Sc, n_br):
         best = Sc
         Sc += unit
     return best

@@ -18,12 +18,33 @@ from __future__ import annotations
 import json
 import os
 
-_PATH = os.path.join(
-    os.environ.get(
-        "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_dpilqr")
-    ),
-    "dpilqr_vmem_negcache.json",
-)
+# Bump when a kernel's VMEM footprint changes: old negative decisions about
+# shapes a new kernel CAN fit must not survive the upgrade.
+KERNEL_VERSION = "r5"
+
+
+def _env_tag() -> str:
+    """Device-generation tag for the cache file: a VMEM-failure decision on
+    one chip kind must not route shapes to the slow backend on another
+    (ADVICE r4).  Falls back to the platform name off-accelerator."""
+    try:
+        import jax
+
+        d = jax.devices()[0]
+        kind = getattr(d, "device_kind", None) or d.platform
+    except Exception:
+        kind = "unknown"
+    return "".join(c if c.isalnum() else "-" for c in str(kind))
+
+
+def _path() -> str:
+    return os.path.join(
+        os.environ.get(
+            "JAX_COMPILATION_CACHE_DIR",
+            os.path.expanduser("~/.cache/jax_dpilqr"),
+        ),
+        f"dpilqr_vmem_negcache_{_env_tag()}_{KERNEL_VERSION}.json",
+    )
 
 
 def shape_key(*parts) -> str:
@@ -44,7 +65,7 @@ def shape_key(*parts) -> str:
 
 def load() -> set:
     try:
-        with open(_PATH) as f:
+        with open(_path()) as f:
             return set(json.load(f))
     except Exception:
         return set()
@@ -54,12 +75,13 @@ def add(key: str, cache: set) -> None:
     """Record ``key`` in the in-memory set and best-effort persist."""
     cache.add(key)
     try:
-        os.makedirs(os.path.dirname(_PATH), exist_ok=True)
+        path = _path()
+        os.makedirs(os.path.dirname(path), exist_ok=True)
         existing = load()
         existing.add(key)
-        tmp = _PATH + f".tmp{os.getpid()}"
+        tmp = path + f".tmp{os.getpid()}"
         with open(tmp, "w") as f:
             json.dump(sorted(existing), f)
-        os.replace(tmp, _PATH)
+        os.replace(tmp, path)
     except Exception:
         pass

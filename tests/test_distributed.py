@@ -368,3 +368,81 @@ class TestSteppableRepack:
         np.testing.assert_allclose(
             np.asarray(stepped.X), np.asarray(fused.X), atol=1e-10
         )
+
+    def test_deadline_width_schedule(self):
+        """Above the single-launch chunk size widths halve in chunk
+        multiples; below it, the normal lane-aligned halving."""
+        from dpilqr_tpu.parallel.deadline import _deadline_widths
+
+        assert _deadline_widths(256, 64, 64) == [256, 128, 64]
+        assert _deadline_widths(192, 64, 64) == [192, 128, 64]
+        assert _deadline_widths(512, 128, 64) == [512, 256, 128, 64]
+        assert _deadline_widths(128, 128, 64) == [128, 64]
+        assert _deadline_widths(64, 64, 64) == [64]
+
+    def test_deadline_chunked_iterate_equals_single(self):
+        """Over-VMEM deadline batches iterate the kernel path CHUNKED
+        (lax.map over Sc-wide chunks, parallel/deadline.py) instead of
+        falling to the XLA path; per-lane work is chunk-position-
+        independent, so one chunked iteration must make identical
+        accept/convergence decisions and match values to the same
+        tolerance the staged-compaction tests use (XLA re-schedules
+        reductions per array width at the ~1e-12 level) -- VERDICT r4
+        item 7."""
+        import jax
+        from dpilqr_tpu.ops.pallas_batched import pad_batch
+        from dpilqr_tpu.parallel.deadline import (
+            _init_pallas,
+            _init_pallas_chunked,
+            _iterate_pallas,
+            _iterate_pallas_chunked,
+            _prep,
+        )
+
+        n, dt, N = 70, 0.1, 5
+        rng = np.random.default_rng(6)
+        x0, xf = dtl.random_setup(n, 4, rng=rng, energy=4.0 * n, n_d=2)
+        fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, dt)
+        cost = _uni_cost(n, jnp.asarray(xf), radius=0.5)
+        X0 = jnp.broadcast_to(jnp.asarray(x0)[None], (N + 1, n, 4))
+        U0 = jnp.zeros((N, n, 2))
+        cfg = dtl.SolverConfig(
+            n_lqr_iter=4, tol=1e-3, sweep_backend="pallas-interpret"
+        )
+        _, _, _, sub_cost, x0_s, U_s, mids_s, enabled = _prep(
+            fleet, cfg, 4, None, cost, X0, U0,
+            jnp.asarray(0.5), jnp.zeros((n,), bool),
+        )
+        sub_p, x0_p, U_p, mids_p, en_p, S0 = pad_batch(
+            cfg, sub_cost, x0_s, U_s, mids_s, enabled
+        )
+        assert x0_p.shape[0] == 128  # two 64-lane chunks
+        c1 = _init_pallas(fleet, cfg, True, sub_p, x0_p, U_p, mids_p, en_p)
+        c2 = _init_pallas_chunked(
+            fleet, cfg, True, 64, sub_p, x0_p, U_p, mids_p, en_p
+        )
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            c1, c2,
+        )
+        n1 = _iterate_pallas(fleet, cfg, True, sub_p, mids_p, x0_p, c1)
+        n2 = _iterate_pallas_chunked(
+            fleet, cfg, True, 64, sub_p, mids_p, x0_p, c1
+        )
+        for name in ("i", "converged", "failed", "active"):
+            np.testing.assert_array_equal(
+                np.asarray(getattr(n1, name)), np.asarray(getattr(n2, name))
+            )
+        np.testing.assert_allclose(
+            np.asarray(n2.J), np.asarray(n1.J), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(n2.X), np.asarray(n1.X), atol=1e-8
+        )
+        np.testing.assert_allclose(
+            np.asarray(n2.U), np.asarray(n1.U), atol=1e-8
+        )
+        # The iteration did real work (some lane accepted or failed).
+        assert int(np.asarray(n1.i).sum()) > 0

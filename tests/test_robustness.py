@@ -323,7 +323,7 @@ class TestVmemFallback:
         from dpilqr_tpu.parallel import distributed as dist
 
         monkeypatch.setattr(
-            negcache, "_PATH", str(tmp_path / "negcache.json")
+            negcache, "_path", lambda: str(tmp_path / "negcache.json")
         )
         monkeypatch.setattr(ilqr_mod, "_VMEM_FALLBACK", set())
         monkeypatch.setattr(dist, "_VMEM_FALLBACK", set())

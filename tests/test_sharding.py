@@ -89,6 +89,94 @@ def test_trials_sharded_matches_per_trial():
         )
 
 
+def test_sharded_kernel_path_matches_unsharded():
+    """The flagship composition (VERDICT r4 item 1): the sharded solve
+    routed through the fused Pallas batched kernels (shard_map, one
+    solve_subproblems_batched per device; interpret mode on CPU) must
+    reproduce the single-device kernel solve AND the XLA sharded path --
+    identical per-subproblem iteration counts, values to the usual
+    float64 interpret tolerance."""
+    n, N = 16, 8
+    fleet, cost, x0, xf = _scenario(n, seed=3)
+    U0 = jnp.zeros((N, n, 2))
+    mesh8 = dtl.make_mesh(cpu_devices[:8])
+    mesh1 = dtl.make_mesh(cpu_devices[:1])
+    cfg_k = dtl.SolverConfig(n_lqr_iter=6, sweep_backend="pallas-interpret")
+    cfg_x = dtl.SolverConfig(n_lqr_iter=6, sweep_backend="xla")
+
+    res_k8 = dtl.solve_distributed_sharded(
+        fleet, cost, jnp.asarray(x0)[None], U0, 0.5, mesh=mesh8, K=4,
+        config=cfg_k,
+    )
+    res_k1 = dtl.solve_distributed_sharded(
+        fleet, cost, jnp.asarray(x0)[None], U0, 0.5, mesh=mesh1, K=4,
+        config=cfg_k,
+    )
+    res_x8 = dtl.solve_distributed_sharded(
+        fleet, cost, jnp.asarray(x0)[None], U0, 0.5, mesh=mesh8, K=4,
+        config=cfg_x,
+    )
+    res_u = dtl.solve_distributed(
+        fleet, cost, jnp.asarray(x0)[None], U0, 0.5, K=4, config=cfg_k
+    )
+    # The kernel-path shard outputs live on all 8 devices.
+    assert len(res_k8.iters.sharding.device_set) == 8
+    for other in (res_k1, res_x8, res_u):
+        np.testing.assert_array_equal(
+            np.asarray(res_k8.iters), np.asarray(other.iters)
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res_k8.converged), np.asarray(other.converged)
+        )
+        np.testing.assert_allclose(
+            float(res_k8.J), float(other.J), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(res_k8.X), np.asarray(other.X), atol=1e-8
+        )
+    # Work happened and neighborhoods were genuinely multi-agent.
+    assert int(np.asarray(res_k8.iters).sum()) > 0
+    assert int(np.asarray(res_k8.sizes).max()) > 1
+
+
+def test_trials_sharded_kernel_path():
+    """Monte-Carlo trials on the kernel path (r4's sweep_backend='xla' pin
+    is lifted): the flattened (trial, subproblem) kernel batch must
+    reproduce each trial's own unsharded kernel solve."""
+    n, N, T = 6, 8, 4
+    fleet = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, n, 0.1)
+    mesh = dtl.make_mesh(cpu_devices[:8])
+    cfg = dtl.SolverConfig(n_lqr_iter=4, sweep_backend="pallas-interpret")
+
+    costs, X0s, U0s = [], [], []
+    for t in range(T):
+        _, cost, x0, _ = _scenario(n, seed=10 + t)
+        costs.append(cost)
+        X0s.append(np.broadcast_to(x0[None], (2, n, 4)))
+        U0s.append(np.zeros((N, n, 2)))
+    cost_T = jax.tree.map(lambda *ls: jnp.stack(ls), *costs)
+    X_T = jnp.asarray(np.stack(X0s))
+    U_T = jnp.asarray(np.stack(U0s))
+
+    res = dtl.solve_trials_sharded(
+        fleet, cost_T, X_T, U_T, 0.5, mesh=mesh, K=4, config=cfg
+    )
+    assert res.J.shape == (T,)
+    for t in range(T):
+        ref = dtl.solve_distributed(
+            fleet, costs[t], X_T[t], U_T[t], 0.5, K=4, config=cfg
+        )
+        np.testing.assert_array_equal(
+            np.asarray(res.iters[t]), np.asarray(ref.iters)
+        )
+        np.testing.assert_allclose(
+            float(res.J[t]), float(ref.J), rtol=1e-9
+        )
+        np.testing.assert_allclose(
+            np.asarray(res.X[t]), np.asarray(ref.X), atol=1e-8
+        )
+
+
 def test_two_process_distributed():
     """The multi-process jax.distributed path actually executes: two OS
     processes (4 virtual CPU devices each) form a global 8-device mesh via

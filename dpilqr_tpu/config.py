@@ -63,6 +63,20 @@ class SolverConfig:
     # VMEM).  Resolved by the solver entry points before tracing.
     sweep_backend: str = "auto"
 
+    # Two-stage batched line search (TPU kernel path).  The accept rule is
+    # FIRST-improving-alpha (reference control.py:179-193), and warm or
+    # converging iterations overwhelmingly accept one of the first alphas
+    # -- so the batched forward kernel first evaluates only ``ls_probe``
+    # alphas and launches the remaining ``n_ls_iter - ls_probe`` ONLY when
+    # some active subproblem improved at none of them (kernel launch time
+    # is near-linear in the alpha count: 0.44 / 1.78 ms at 2 / 10 alphas,
+    # measured v5e).  The accept decision is provably identical: if any of
+    # the first ``ls_probe`` alphas improves, the first-improving index is
+    # unchanged by evaluating more.  0 disables staging.  The stage widths
+    # must keep the kernel lane-aligned (ls_probe * 64 % 128 == 0, i.e.
+    # even); misaligned values fall back to the monolithic sweep.
+    ls_probe: int = 2
+
     # Conditioning guard (default off = exact reference behavior).  The
     # reference zeroes mu once it decays past MU_MIN (control.py:236), so a
     # deep proximity penetration can drive the unregularized Q_uu solve to

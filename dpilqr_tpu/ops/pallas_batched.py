@@ -937,7 +937,6 @@ def batched_iteration(
     c = carry
     n_alpha = cfg.n_ls_iter
     alphas = jnp.asarray(line_search_alphas(n_alpha, dtype))
-    branch_row = _branch_row(fleet, mids_s, n_alpha, dtype)
 
     if x0_s.shape[1] * fleet.nx_p > UNROLLED_NXF_LIMIT:
         # Wide subproblems: the statically-unrolled kernel's program does
@@ -952,10 +951,59 @@ def batched_iteration(
         Kg, dv = backward_pass_batched(
             fleet, sub_cost, mids_s, c.X, c.U, c.mu, interpret=interpret
         )
-    X5, U5, J_c = forward_pass_batched(
-        fleet, sub_cost, branch_row, c.X, c.U, Kg, dv, alphas,
-        interpret=interpret,
+
+    # Two-stage line search (SolverConfig.ls_probe): evaluate the first p
+    # alphas; the remaining n_alpha - p launch only when some ACTIVE lane
+    # improved at none of them.  First-improving-alpha selection makes the
+    # accept decision identical to the monolithic sweep; cold/converging
+    # iterations (the majority) pay ~p/n_alpha of the forward launch.
+    p = cfg.ls_probe
+    S = x0_s.shape[0]
+    stage = (
+        0 < p < n_alpha
+        and (p * S) % 128 == 0
+        and ((n_alpha - p) * S) % 128 == 0
     )
+    if stage:
+        N = c.U.shape[1]
+        K, nx_p = x0_s.shape[1], fleet.nx_p
+        nu_p = fleet.nu_p
+        br_a = _branch_row(fleet, mids_s, p, dtype)
+        X5a, U5a, J_a = forward_pass_batched(
+            fleet, sub_cost, br_a, c.X, c.U, Kg, dv, alphas[:p],
+            interpret=interpret,
+        )
+        need_tail = jnp.any(
+            c.active & ~jnp.any(J_a < c.J[None, :], axis=0)
+        )
+        br_b = _branch_row(fleet, mids_s, n_alpha - p, dtype)
+
+        def tail(_):
+            return forward_pass_batched(
+                fleet, sub_cost, br_b, c.X, c.U, Kg, dv, alphas[p:],
+                interpret=interpret,
+            )
+
+        def skip(_):
+            # Never selected: every active lane improves at an index < p,
+            # and argmax picks the FIRST improving index.  inf keeps the
+            # tail's `improved` entries False.
+            return (
+                jnp.zeros((N, nx_p, K, n_alpha - p, S), dtype),
+                jnp.zeros((N, nu_p, K, n_alpha - p, S), dtype),
+                jnp.full((n_alpha - p, S), jnp.inf, dtype),
+            )
+
+        X5b, U5b, J_b = jax.lax.cond(need_tail, tail, skip, None)
+        X5 = jnp.concatenate([X5a, X5b], axis=3)
+        U5 = jnp.concatenate([U5a, U5b], axis=3)
+        J_c = jnp.concatenate([J_a, J_b], axis=0)
+    else:
+        branch_row = _branch_row(fleet, mids_s, n_alpha, dtype)
+        X5, U5, J_c = forward_pass_batched(
+            fleet, sub_cost, branch_row, c.X, c.U, Kg, dv, alphas,
+            interpret=interpret,
+        )
     improved = J_c < c.J[None, :]  # (n_alpha, S)
     accept = jnp.any(improved, axis=0)
     a_idx = jnp.argmax(improved, axis=0).astype(jnp.int32)

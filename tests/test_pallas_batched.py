@@ -121,6 +121,39 @@ class TestInterpretParity:
         np.testing.assert_allclose(np.asarray(rp.J), np.asarray(rx.J), rtol=1e-9)
         np.testing.assert_allclose(np.asarray(rp.X), np.asarray(rx.X), atol=1e-8)
 
+    def test_two_stage_line_search_exact(self):
+        """SolverConfig.ls_probe stages the batched line search (first 2
+        alphas, tail only when some active lane fails them).  The accept
+        rule is first-improving-alpha, so staged and monolithic sweeps
+        must make IDENTICAL decisions: same per-subproblem iteration
+        counts, convergence flags, and values (VERDICT r4 item 3)."""
+        import dataclasses
+
+        fleet, cost, X0, U0, radius = _problem(12, 6, jnp.float64, seed=13)
+        cfg0 = SolverConfig(
+            n_lqr_iter=8, tol=1e-3, sweep_backend="pallas-interpret",
+            ls_probe=0,
+        )
+        cfg2 = dataclasses.replace(cfg0, ls_probe=2)
+        n = X0.shape[1]
+        rm = _solve_distributed(
+            fleet, cfg0, 4, None, cost, X0, U0, radius, jnp.zeros((n,), bool)
+        )
+        rs = _solve_distributed(
+            fleet, cfg2, 4, None, cost, X0, U0, radius, jnp.zeros((n,), bool)
+        )
+        iters = np.asarray(rm.iters)
+        assert iters.sum() > 0
+        np.testing.assert_array_equal(iters, np.asarray(rs.iters))
+        np.testing.assert_array_equal(
+            np.asarray(rm.converged), np.asarray(rs.converged)
+        )
+        np.testing.assert_allclose(np.asarray(rs.J), np.asarray(rm.J), rtol=1e-9)
+        np.testing.assert_allclose(np.asarray(rs.X), np.asarray(rm.X), atol=1e-8)
+        # The XLA path (monolithic by construction) agrees too.
+        rx = _run(fleet, cost, X0, U0, radius, 4, "xla", n_iter=8)
+        np.testing.assert_array_equal(iters, np.asarray(rx.iters))
+
     def test_cross_chunk_merge(self, monkeypatch):
         # Batch of 160 pads to 256 and chunks at Sc=128 (VMEM predicate
         # shrunk): each chunk iterates full-width only until <=64 actives

@@ -58,6 +58,28 @@ def test_pscan_flops_model():
     assert sol.pscan_sweep_flops(100, 32) == 2 * 100 * 12 * 2 * 32**3
 
 
+def test_forward_trig_model(monkeypatch):
+    # 4 dynamics evals per substep, 2 transcendentals per slot column.
+    assert sol.forward_step_trig_ops(8, 4, 2, 10, 5) == 5 * 4 * 2 * 8 * 10
+    # kernel_sol folds the measured transcendental rate into the compute
+    # bound for the forward family (VERDICT r4 item 5).
+    monkeypatch.setattr(sol, "measure_vpu_peak_gflops", lambda: 1000.0)
+    monkeypatch.setattr(sol, "measure_hbm_stream_gbps", lambda: 700.0)
+    monkeypatch.setattr(
+        sol, "measure_vpu_transcendental_ops", lambda: 50e9
+    )
+    rep = sol.kernel_sol(
+        "forward", N=50, K=8, nx_p=4, nu_p=2, S=128, n_alpha=10,
+        measured_s=5e-3, substeps=5,
+    )
+    t_c = rep["gflops"] / 1000.0 + rep["trig_gops"] / 50.0
+    t_m = rep["gbytes"] / 700.0
+    # trig_gops is display-rounded to 3 decimals; compare loosely.
+    assert rep["sol_s"] == pytest.approx(max(t_c, t_m), rel=5e-2)
+    assert rep["ceiling_trig_gops_s"] == 50.0
+    assert 0 < rep["trig_time_frac_of_sol"] <= 1.0
+
+
 def test_diff_time_escalates_past_noise():
     # Simulated: per-call cost 1 ms, constant 30 ms barrier noise.  Small
     # rep counts give diffs below the signal floor; escalation reaches a

@@ -60,28 +60,45 @@ def _combine(e1, e2):
     ``b (.., nxf)``: affine drift; ``C (.., nxf, nxf)``: control-induced
     "covariance" (B Luu^-1 B^T accumulated); ``eta (.., nxf)``, ``J (..,
     nxf, nxf)``: linear/quadratic cost-to-go parameters.
+
+    One Gauss-Jordan pass instead of the textbook two inverses (round-5
+    pscan optimization): with ``M2 = (I + J2 C1)^{-1}`` the other factor
+    satisfies ``M1 = (I + C1 J2)^{-1} = I - C1 M2 J2`` (push-through
+    identity), so solving the SINGLE system
+    ``(I + J2 C1) [T | m] = [J2 | eta2 - J2 b1]`` yields everything:
+    every M1-product becomes ``X - C1 (T X)`` and every M2-product reads
+    off ``T`` / ``m`` directly.  Batched Gauss-Jordan rather than
+    jnp.linalg.solve because the batched LU custom call serializes on TPU
+    (same finding as ops/ilqr's gain solve); its sequential nxf-pivot
+    elimination was the combine's dominant cost, and this halves it.
     """
     A1, b1, C1, eta1, J1 = e1
     A2, b2, C2, eta2, J2 = e2
-    nxf = A1.shape[-1]
-    eye = jnp.eye(nxf, dtype=A1.dtype)
 
-    # M1 = (I + C1 J2)^{-1}; M2 = (I + J2 C1)^{-1}.  Batched Gauss-Jordan
-    # instead of jnp.linalg.solve: the batched LU custom call serializes on
-    # TPU and dominates the combine (same finding as ops/ilqr's gain solve).
-    bsolve = _batched_solve
-    M1 = bsolve(eye + C1 @ J2, jnp.broadcast_to(eye, C1.shape))
-    M2 = bsolve(eye + J2 @ C1, jnp.broadcast_to(eye, C1.shape))
+    rhs = jnp.concatenate(
+        [J2, (eta2 - jnp.einsum("...ij,...j->...i", J2, b1))[..., None]],
+        axis=-1,
+    )
+    Tm = _batched_solve(
+        jnp.eye(J2.shape[-1], dtype=J2.dtype) + J2 @ C1, rhs
+    )
+    T = Tm[..., :-1]  # M2 J2
+    m = Tm[..., -1]  # M2 (eta2 - J2 b1)
 
-    A = A2 @ M1 @ A1
-    b = (A2 @ M1 @ (b1[..., None] + C1 @ eta2[..., None]))[..., 0] + b2
-    C = A2 @ M1 @ C1 @ jnp.swapaxes(A2, -1, -2) + C2
-    eta = (
-        jnp.swapaxes(A1, -1, -2)
-        @ M2
-        @ (eta2[..., None] - J2 @ b1[..., None])
-    )[..., 0] + eta1
-    J = jnp.swapaxes(A1, -1, -2) @ M2 @ J2 @ A1 + J1
+    TA1 = T @ A1
+    M1A1 = A1 - C1 @ TA1  # M1 A1
+    A = A2 @ M1A1
+    J = jnp.swapaxes(A1, -1, -2) @ TA1 + J1
+    eta = jnp.einsum("...ji,...j->...i", A1, m) + eta1
+
+    v = b1 + jnp.einsum("...ij,...j->...i", C1, eta2)
+    Tv = jnp.einsum("...ij,...j->...i", T, v)
+    M1v = v - jnp.einsum("...ij,...j->...i", C1, Tv)
+    b = jnp.einsum("...ij,...j->...i", A2, M1v) + b2
+
+    TC1 = T @ C1
+    M1C1 = C1 - C1 @ TC1
+    C = A2 @ M1C1 @ jnp.swapaxes(A2, -1, -2) + C2
     return (A, b, C, eta, J)
 
 

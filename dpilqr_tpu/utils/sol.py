@@ -385,11 +385,13 @@ def measure_batched_matmul_gflops(nb: int = 400, m: int = 16,
 def pscan_sweep_flops(N: int, nxf: int) -> int:
     """FLOPs of one associative-scan Riccati sweep (ops/pscan.py).
 
-    Each combine is ~8 dense (nxf, nxf) matmuls plus 2 Gauss-Jordan
-    inverses (~2 matmul-equivalents each): ~12 matmul-equivalents of
-    2*nxf^3 FLOPs.  ``associative_scan`` executes ~2N combines across its
+    The round-5 combine does 8 dense (nxf, nxf) matmuls (TA1, C1@TA1,
+    A2@M1A1, A1^T@TA1, TC1, C1@TC1, A2@M1C1, @A2^T: 2*nxf^3 each) plus
+    ONE Gauss-Jordan pass over the (nxf, 2*nxf+1)-augmented system
+    (~3 matmul-equivalents of elimination + blend work); matvecs are
+    negligible.  ``associative_scan`` executes ~2N combines across its
     up/down sweeps."""
-    return 2 * N * 12 * 2 * nxf**3
+    return 2 * N * 11 * 2 * nxf**3
 
 
 @functools.cache

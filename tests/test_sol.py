@@ -55,7 +55,7 @@ def test_kernel_sol_report(monkeypatch):
 
 
 def test_pscan_flops_model():
-    assert sol.pscan_sweep_flops(100, 32) == 2 * 100 * 12 * 2 * 32**3
+    assert sol.pscan_sweep_flops(100, 32) == 2 * 100 * 11 * 2 * 32**3
 
 
 def test_forward_trig_model(monkeypatch):

@@ -52,14 +52,17 @@ from .subproblems import (
 
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _prep(fleet: Fleet, cfg: SolverConfig, K: int, graph_n_d,
-          cost: GameCost, X, U, radius, ignore_mask):
+          cost: GameCost, X, U, radius, ignore_mask, membership=None):
     """Graph construction + batched gather (steps 1-2 of _solve_distributed)."""
     dtype = X.dtype
     cost = jax.tree.map(
         lambda a: a.astype(dtype) if jnp.issubdtype(a.dtype, jnp.floating) else a,
         cost,
     )
-    membership = interaction_graph(X, radius, n_pos=cost.n_pos, n_d=graph_n_d)
+    if membership is None:
+        membership = interaction_graph(
+            X, radius, n_pos=cost.n_pos, n_d=graph_n_d
+        )
     batch = gather_subproblems(membership, K)
     sub_cost = gather_cost(cost, batch, dtype)
     x0_s = gather_states(X[0], batch)
@@ -277,8 +280,12 @@ def solve_distributed_steppable(
         ignore_mask = jnp.zeros((n,), bool)
     ignore_mask = jnp.asarray(ignore_mask, bool)
     radius = jnp.asarray(radius, dtype=X.dtype)
+    membership_in = None
     if K is None:
-        K = auto_subproblem_width(X, radius, cost, graph_n_d)
+        from .distributed import _graph_prog, _width_from_kmax
+
+        membership_in, k_max = _graph_prog(X, radius, cost.n_pos, graph_n_d)
+        K = _width_from_kmax(int(k_max), n)
     backend = resolve_batched_backend(config, fleet, U.shape[0], K, n, (X,))
     use_pallas = backend in ("pallas", "pallas-interpret")
     interpret = backend == "pallas-interpret"
@@ -312,7 +319,8 @@ def solve_distributed_steppable(
                 use_pallas = False
 
     cost_c, membership, batch, sub_cost, x0_s, U_s, mids_s, enabled = _prep(
-        fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask
+        fleet, config, K, graph_n_d, cost, X, U, radius, ignore_mask,
+        membership_in,
     )
 
     if use_pallas:

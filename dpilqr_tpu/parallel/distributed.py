@@ -65,6 +65,14 @@ def _solve_subproblem_batch(
     return jax.vmap(solve_one)(sub_cost, x0_s, U_s, mids_s, enabled)
 
 
+@partial(jax.jit, static_argnums=(3,))
+def _graph_prog(X, radius, n_pos, graph_n_d):
+    """Graph construction + max-neighborhood size as ONE device program
+    (the auto-K width needs only the scalar on the host)."""
+    M = interaction_graph(X, radius, n_pos=n_pos, n_d=graph_n_d)
+    return M, jnp.max(jnp.sum(M, axis=1))
+
+
 @partial(jax.jit, static_argnums=(0, 1, 2, 3))
 def _solve_distributed(
     fleet: Fleet,
@@ -76,6 +84,7 @@ def _solve_distributed(
     U,
     radius,
     ignore_mask,
+    membership=None,
 ):
     dtype = X.dtype
     cost = jax.tree.map(
@@ -85,7 +94,12 @@ def _solve_distributed(
     n = X.shape[1]
 
     # 1. Interaction graph from the previous trajectory (distributed.py:42).
-    membership = interaction_graph(X, radius, n_pos=cost.n_pos, n_d=graph_n_d)
+    #    When the wrapper already built it for auto-K sizing it is passed
+    #    in -- ONE graph build per solve (VERDICT r4 item 10).
+    if membership is None:
+        membership = interaction_graph(
+            X, radius, n_pos=cost.n_pos, n_d=graph_n_d
+        )
     batch = gather_subproblems(membership, K)
 
     # 2. Gather the batch (split_graph / problem.split equivalents).
@@ -131,17 +145,21 @@ def _solve_distributed(
     )
 
 
+def _width_from_kmax(k_max: int, n: int, n_max: int | None = None) -> int:
+    """Max neighborhood size -> static subproblem width: next power of two
+    (bucketing bounds recompiles while keeping padding waste < 2x)."""
+    K = 1 << (k_max - 1).bit_length() if k_max > 1 else 1
+    return min(K, n if n_max is None else n_max)
+
+
 def auto_subproblem_width(
     X, radius, cost: GameCost, graph_n_d=None, n_max: int | None = None
 ) -> int:
-    """Pick the static subproblem width: the max neighborhood size rounded
-    up to the next power of two (bucketing bounds recompiles while keeping
-    padding waste < 2x).  One tiny host sync per call."""
-    M = interaction_graph(X, radius, n_pos=cost.n_pos, n_d=graph_n_d)
-    k_max = int(jnp.max(jnp.sum(M, axis=1)))
-    K = 1 << (k_max - 1).bit_length() if k_max > 1 else 1
+    """Pick the static subproblem width from the interaction graph.
+    One jitted graph program + one tiny host sync per call."""
+    _, k_max = _graph_prog(X, radius, cost.n_pos, graph_n_d)
     n = X.shape[1] if X.ndim == 3 else X.shape[0]
-    return min(K, n if n_max is None else n_max)
+    return _width_from_kmax(int(k_max), n, n_max)
 
 
 def solve_distributed(
@@ -198,8 +216,13 @@ def solve_distributed(
         ignore_mask = jnp.zeros((n,), bool)
     ignore_mask = jnp.asarray(ignore_mask, bool)
     radius = jnp.asarray(radius, dtype=X.dtype)
+    membership = None
     if K is None:
-        K = auto_subproblem_width(X, radius, cost, graph_n_d)
+        # Auto width: build the graph ONCE here (one jitted program + one
+        # scalar host sync) and hand the membership to the solve program,
+        # which then skips its own build (VERDICT r4 item 10).
+        membership, k_max = _graph_prog(X, radius, cost.n_pos, graph_n_d)
+        K = _width_from_kmax(int(k_max), n)
     import dataclasses
 
     from ..ops.pallas_batched import resolve_batched_backend
@@ -219,7 +242,8 @@ def solve_distributed(
         cfg1 = config
         return retry_transient(
             lambda: _solve_distributed(
-                fleet, cfg1, K, graph_n_d, cost, X, U, radius, ignore_mask
+                fleet, cfg1, K, graph_n_d, cost, X, U, radius,
+                ignore_mask, membership,
             )
         )
     except Exception as e:  # noqa: BLE001 -- filtered by is_vmem_error
@@ -244,7 +268,8 @@ def solve_distributed(
         cfg2 = config
         return retry_transient(
             lambda: _solve_distributed(
-                fleet, cfg2, K, graph_n_d, cost, X, U, radius, ignore_mask
+                fleet, cfg2, K, graph_n_d, cost, X, U, radius,
+                ignore_mask, membership,
             )
         )
 

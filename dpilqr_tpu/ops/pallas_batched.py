@@ -84,10 +84,14 @@ _I0 = np.int32(0)
 # Widest flat state (K * nx_p) the statically-unrolled backward kernel's
 # program compiles at (measured: 32 OK; 48 hangs the TPU compiler > 20 min).
 # Past it the blocked kernel (pallas_batched_wide) takes over, up to
-# WIDE_NXF_LIMIT (48 verified compiling + running for Quad6D K=8 and
-# Quad12D K=4 on v5e).
+# WIDE_NXF_LIMIT.  r4 pinned 48 there; the r5 envelope diagnosis
+# (logs/wide_envelope_r5.json) showed every 48 < nxf <= 96 failure was the
+# DEFAULT 16 MB scoped-vmem flag, not compile time -- with the wide
+# kernel's per-kernel vmem_limit_bytes raised (pallas_batched_wide.
+# WIDE_VMEM_LIMIT_BYTES) Quad12D K=8 (nxf=96) compiles and runs on v5e,
+# so the envelope is 96, with fits_vmem_wide gating chunk width per shape.
 UNROLLED_NXF_LIMIT = 32
-WIDE_NXF_LIMIT = 48
+WIDE_NXF_LIMIT = 96
 
 
 def _vspec(shape=None):
@@ -131,6 +135,7 @@ def fits_vmem_batched(
     n_branches: int = 1,
     dtype_bytes: int = 4,
     budget: int = 13 * 1024 * 1024,
+    include_backward: bool = True,
 ) -> bool:
     """Conservative VMEM bound for the batched sweep kernels.
 
@@ -138,7 +143,13 @@ def fits_vmem_batched(
     the 13 MB budget against the 16 MB VMEM is calibrated so the largest
     verified configuration (250 agents / S=256, measured 97.9 ms = 10.2 Hz
     on v5e) resolves to the kernels while clearly-oversized problems fall
-    back to the XLA scans."""
+    back to the XLA scans.
+
+    ``include_backward=False`` drops the UNROLLED backward kernel's term:
+    for wide shapes (K*nx_p > UNROLLED_NXF_LIMIT) the backward runs the
+    blocked kernel instead, whose own model (``fits_vmem_wide``, raised
+    scoped-vmem ceiling) must gate it -- scoring the unrolled kernel a
+    wide batch never launches wrongly exiled Quad12D K=8 to XLA."""
     nxf, nuf = K * nx_p, K * nu_p
     npairs = max(K * (K - 1) // 2, 1)
     CS = n_alpha * S
@@ -170,6 +181,8 @@ def fits_vmem_batched(
         # live temps: Preg, AtP, Qxx, W1, Qux, Quu, GJ state, t_dots
         + (5 * nxf * nxf + 3 * nuf * nxf + 2 * nuf * nuf) * S
     )
+    if not include_backward:
+        backward = 0
     return max(forward, backward) * dtype_bytes < budget
 
 
@@ -1247,13 +1260,19 @@ def fits_vmem_dispatch(
     n_br: int,
 ) -> bool:
     """VMEM fit for the kernels the batch would ACTUALLY run at this shape:
-    the forward/unrolled model always, PLUS the sublane-padding-aware wide
-    model when the backward routes to the blocked kernel (K*nx_p > 32).
-    Chunk sizing with the unrolled model alone over-estimated wide chunks
-    by up to 2.7x of sublane padding (ADVICE r4)."""
-    if not fits_vmem_batched(N, K, nx_p, nu_p, S, cfg.n_ls_iter, n_br):
+    within the unrolled envelope, the forward + unrolled-backward model;
+    for wide shapes (K*nx_p > 32, where the blocked kernel runs instead),
+    the forward model plus the sublane-padding-aware wide model with its
+    raised scoped-vmem budget.  Chunk sizing with the unrolled model alone
+    over-estimated wide chunks by up to 2.7x of sublane padding (ADVICE
+    r4) and wrongly scored the unrolled backward on batches that launch
+    the blocked kernel (r5)."""
+    wide = K * nx_p > UNROLLED_NXF_LIMIT
+    if not fits_vmem_batched(
+        N, K, nx_p, nu_p, S, cfg.n_ls_iter, n_br, include_backward=not wide
+    ):
         return False
-    if K * nx_p > UNROLLED_NXF_LIMIT:
+    if wide:
         from .pallas_batched_wide import fits_vmem_wide
 
         return fits_vmem_wide(N, K, nx_p, nu_p, S)
@@ -1306,9 +1325,10 @@ def resolve_batched_backend(
     n_br = int(np.max(fleet.branch_index_array)) + 1 if fleet.n_agents else 1
     # Program-size envelope.  Up to nxf = K * nx_p = 32 the statically-
     # unrolled kernels compile (and are ~2x faster per launch than the
-    # blocked form); from 32 to WIDE_NXF_LIMIT the blocked backward kernel
-    # (pallas_batched_wide) takes over -- measured compiling AND running
-    # for Quad6D K=8 and Quad12D K=4 (nxf=48) on v5e.  Beyond that, the
+    # blocked form); from 32 to WIDE_NXF_LIMIT = 96 the blocked backward
+    # kernel (pallas_batched_wide, raised per-kernel scoped-vmem limit)
+    # takes over -- measured compiling AND running up to Quad12D K=8
+    # (nxf=96) on v5e (logs/wide_envelope_r5*.json).  Beyond that, the
     # XLA scans.
     nxf = K * fleet.nx_p
     if nxf > WIDE_NXF_LIMIT:

@@ -55,6 +55,17 @@ def _pad8(d: int) -> int:
     return -(-d // 8) * 8
 
 
+# Scoped-VMEM ceiling requested from the Mosaic compiler for THIS kernel.
+# The measured r5 envelope diagnosis (logs/wide_envelope_r5.json) showed
+# every nxf in 48..96 failing with "Scoped allocation ... limit 16.00M"
+# at 16.4-35.8 MB -- i.e. the DEFAULT scoped-vmem flag, not the 128 MB of
+# physical VMEM and not compile time, was the 48 -> 96 envelope wall
+# (VERDICT r4 item 2).  Raising the per-kernel limit admits the full
+# Quad12D K=8 (nxf=96) program with headroom; chunk sizing still bounds
+# the ACTUAL footprint via fits_vmem_wide's budget below.
+WIDE_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
+
 def fits_vmem_wide(
     N: int,
     K: int,
@@ -62,7 +73,7 @@ def fits_vmem_wide(
     nu_p: int,
     S: int,
     dtype_bytes: int = 4,
-    budget: int = 13 * 1024 * 1024,
+    budget: int = 72 * 1024 * 1024,
 ) -> bool:
     """Conservative VMEM bound for the blocked wide backward kernel.
 
@@ -72,12 +83,13 @@ def fits_vmem_wide(
     fits_vmem_batched) -- all with the second-to-last axis padded to the
     8-sublane tile the Mosaic layout actually allocates.
 
-    Calibration against the measured v5e envelope (memory: kernel
-    envelopes): nxf = 48 (Quad6D K=8: S=64 -> 8.9 MB here) compiles and
-    runs; nxf = 64 (K=16 nx_p=4: S=64 -> 22.9 MB) genuinely overflows.
-    The sublane-padded model separates the two where the unpadded count
-    (10.8 MB at nxf=64) wrongly passed both -- VMEM, not compile time, is
-    what binds the 48 -> 96 envelope wall (VERDICT r4 item 2).
+    Calibration (r5 envelope diagnosis, logs/wide_envelope_r5.json): the
+    model over-counts the compiler's actual scoped allocation by ~1.5x
+    (Quad12D K=8 S=64: model 29.8 MB vs measured 20.1 MB; Unicycle K=16
+    S=64: model ~33 MB vs measured 35.8 MB -- within 10% there), so the
+    72 MB budget keeps every admitted shape comfortably inside the
+    100 MB per-kernel scoped-vmem ceiling (WIDE_VMEM_LIMIT_BYTES) on a
+    128 MB-VMEM chip.
     """
     xp, up = _pad8(nx_p), _pad8(nu_p)
     streams = 2 * (
@@ -306,6 +318,9 @@ def backward_pass_batched_wide(
             pltpu.VMEM((K, nx_p, S), dtype),
             pltpu.VMEM((K, K, nx_p, nx_p, S), dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=WIDE_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(Ab, Bb, Luu_b, Lxx_b, Lx_b, Lu_b, mu5, p0_b, P0_b)
 

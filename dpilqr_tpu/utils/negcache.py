@@ -20,7 +20,7 @@ import os
 
 # Bump when a kernel's VMEM footprint changes: old negative decisions about
 # shapes a new kernel CAN fit must not survive the upgrade.
-KERNEL_VERSION = "r5"
+KERNEL_VERSION = "r5b"  # r5b: wide kernel's scoped-vmem limit raised
 
 
 def _env_tag() -> str:

@@ -103,10 +103,41 @@ def test_resolver_routes_wide_widths(monkeypatch):
     fleet6 = dtl.homogeneous_fleet(dtl.QUAD_6D, 8, 0.1)
     assert resolve_batched_backend(cfg, fleet6, 20, 4, 8) == "pallas"
     assert resolve_batched_backend(cfg, fleet6, 20, 8, 8) == "pallas"  # wide
-    fleet12 = dtl.homogeneous_fleet(dtl.QUAD_12D, 8, 0.1)
-    assert resolve_batched_backend(cfg, fleet12, 20, 4, 8) == "pallas"  # wide
-    assert resolve_batched_backend(cfg, fleet12, 20, 8, 8) == "xla"  # 96 > 48
-    assert 8 * fleet12.nx_p > WIDE_NXF_LIMIT
+    fleet12 = dtl.homogeneous_fleet(dtl.QUAD_12D, 16, 0.1)
+    assert resolve_batched_backend(cfg, fleet12, 20, 4, 16) == "pallas"
+    # Full-state Quad12D at K=8 (nxf=96) rides the wide kernel since the
+    # r5 scoped-vmem lift (logs/wide_envelope_r5.json).
+    assert resolve_batched_backend(cfg, fleet12, 20, 8, 16) == "pallas"
+    assert resolve_batched_backend(cfg, fleet12, 20, 16, 16) == "xla"
+    assert 16 * fleet12.nx_p > WIDE_NXF_LIMIT >= 8 * fleet12.nx_p
+
+
+def test_wide_shape_nxf96():
+    """The full Quad12D K=8 shape (nxf=96, the r5 envelope lift) builds
+    and runs in interpret mode and agrees with the XLA backward pass."""
+    from dpilqr_tpu.ops.ilqr import _backward_pass
+
+    K = 8
+    fleet, cost_b, mids, X, U, mu = _batch(
+        dtl.QUAD_12D, K, 2, 3, jnp.float64
+    )
+    assert K * fleet.nx_p == 96 <= WIDE_NXF_LIMIT
+    Kg, d = backward_pass_batched_wide(
+        fleet, cost_b, mids, X, U, mu, interpret=True
+    )
+    assert np.isfinite(np.asarray(Kg)).all()
+
+    def lin(x, u):
+        return fleet.linearize_dyn(mids[0], x, u)
+
+    cost0 = jax.tree.map(lambda a: a[0], cost_b)
+    K_x, d_x = _backward_pass(lin, cost0, X[0], U[0], mu[0])
+    np.testing.assert_allclose(
+        np.asarray(Kg[:, :, :, 0]), np.asarray(K_x), atol=1e-8
+    )
+    np.testing.assert_allclose(
+        np.asarray(d[:, :, 0]), np.asarray(d_x), atol=1e-8
+    )
 
 
 def test_distributed_solve_through_wide_kernel():

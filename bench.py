@@ -320,6 +320,36 @@ def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
         "iters_quad12d_64": iters,
     })
 
+    # Full-state Quad12D at K=8 (nxf=96): the r5 scoped-vmem lift
+    # (logs/wide_envelope_r5.json) puts the DENSE quadrotor swarm -- the
+    # spacing-0.85 local-crossing grid quad6d_64 uses, neighborhoods up
+    # to 8 -- on the blocked wide kernel.  Own guard: the one-time
+    # nxf=96 compile (~9 min cold, cached thereafter) must not sink the
+    # rest of the section on a transient compile-helper outage.
+    try:
+        x0q8, xfq8 = _grid3d_scenario(n, spacing=0.85, nx=12)
+        costq8 = dtl.make_game_cost(
+            jnp.asarray(xfq8, dtype),
+            jnp.asarray(np.tile(np.eye(12), (n, 1, 1)), dtype),
+            jnp.asarray(np.tile(np.eye(4), (n, 1, 1)), dtype),
+            jnp.asarray(np.tile(1e3 * np.eye(12), (n, 1, 1)), dtype),
+            radius=radius,
+            n_pos=np.full((n,), 3, np.int32),
+        )
+        ms, backend, iters, trunc = _distributed_point(
+            dtl, fleetq, costq8, x0q8, N, radius, 8, cfg, time_solve
+        )
+        assert not trunc, "quad12d_64_k8 truncated"
+        out.update({
+            "ms_quad12d_64_k8_distributed": round(ms, 3),
+            "hz_quad12d_64_k8_distributed": round(1000.0 / ms, 2),
+            "backend_quad12d_64_k8": backend,
+            "iters_quad12d_64_k8": iters,
+        })
+    except Exception as e:  # noqa: BLE001 -- diagnostic, not control
+        print(f"quad12d_64_k8 point failed: {e!r:.300}", file=sys.stderr)
+        out["quad12d_64_k8_error"] = f"{e!s:.200}"
+
     # Config 3: heterogeneous DoubleInt4D + Car3D + Bike5D fleet (zero-
     # padded states; Bike5D's rk4_substeps=1 vs 5 elsewhere runs in-kernel
     # via the per-column dh table; nxf=40 -> blocked wide backward).
@@ -724,7 +754,8 @@ def main():
         "ms_50_distributed", "ms_100_distributed", "ms_250_distributed",
         "ms_500_distributed",
         "ms_quad6d_64_distributed", "ms_quad12d_16_distributed",
-        "ms_quad12d_64_distributed", "ms_hetero_99_distributed",
+        "ms_quad12d_64_distributed", "ms_quad12d_64_k8_distributed",
+        "ms_hetero_99_distributed",
         "backward_sol_frac", "forward_sol_frac", "forward_trig_time_frac",
         "pscan_sol_frac_fair",
     ]

@@ -93,6 +93,14 @@ _I0 = np.int32(0)
 UNROLLED_NXF_LIMIT = 32
 WIDE_NXF_LIMIT = 96
 
+# Scoped-VMEM ceiling requested from the Mosaic compiler for the batched
+# kernels (same mechanism as pallas_batched_wide.WIDE_VMEM_LIMIT_BYTES):
+# an upper bound, not an allocation -- chunk sizing still targets the
+# 13 MB fits_vmem_batched budget below (wider single launches measured
+# SLOWER, see its docstring); the raised ceiling protects shapes where
+# the additive model under-counts the compiler's true footprint.
+BATCHED_VMEM_LIMIT_BYTES = 100 * 1024 * 1024
+
 
 def _vspec(shape=None):
     """Full-array VMEM spec.  With a grid present, Pallas synthesizes a
@@ -140,10 +148,19 @@ def fits_vmem_batched(
     """Conservative VMEM bound for the batched sweep kernels.
 
     The temp terms over-count (not all intermediates are live at once);
-    the 13 MB budget against the 16 MB VMEM is calibrated so the largest
-    verified configuration (250 agents / S=256, measured 97.9 ms = 10.2 Hz
-    on v5e) resolves to the kernels while clearly-oversized problems fall
-    back to the XLA scans.
+    the 13 MB budget against the 16 MB default scoped-vmem flag is
+    calibrated so the largest verified configuration (250 agents / S=256,
+    measured 97.9 ms = 10.2 Hz on v5e) resolves to the kernels while
+    clearly-oversized problems fall back to the XLA scans.
+
+    Measured negative (r5): raising this to 72 MB (with the kernels'
+    scoped-vmem ceiling at BATCHED_VMEM_LIMIT_BYTES) so the 500-agent
+    batch runs as ONE 512-lane launch per sweep instead of 2x256 chunks
+    made the cold solve SLOWER -- 136.8/130.8 ms vs 119.2/112.1 ms at
+    ls_probe 0/2 (logs/r5_single_launch_500.log) -- so the 13 MB chunk
+    regime is also the fast one and stays.  The raised per-kernel
+    ceiling itself is kept: it is an upper bound, not an allocation, and
+    protects shapes where this additive model under-counts.
 
     ``include_backward=False`` drops the UNROLLED backward kernel's term:
     for wide shapes (K*nx_p > UNROLLED_NXF_LIMIT) the backward runs the
@@ -475,6 +492,9 @@ def backward_pass_batched(
             pltpu.VMEM((nxf, S), dtype),
             pltpu.VMEM((nxf, nxf, S), dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=BATCHED_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(A, B, q["L_uu"], q["L_xx"], q["L_x"], q["L_u"], mu3, q["p0"], q["P0"])
     return Kg, d
@@ -795,6 +815,9 @@ def forward_pass_batched(
             pltpu.VMEM((nx_p, C), dtype),
             pltpu.VMEM((1, CS), dtype),
         ],
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=BATCHED_VMEM_LIMIT_BYTES
+        ),
         interpret=interpret,
     )(*ins)
 

@@ -320,12 +320,14 @@ def _model_family_points(dtl, cfg, N, dt, radius, time_solve):
         "iters_quad12d_64": iters,
     })
 
-    # Full-state Quad12D at K=8 (nxf=96): the r5 scoped-vmem lift
-    # (logs/wide_envelope_r5.json) puts the DENSE quadrotor swarm -- the
-    # spacing-0.85 local-crossing grid quad6d_64 uses, neighborhoods up
-    # to 8 -- on the blocked wide kernel.  Own guard: the one-time
-    # nxf=96 compile (~9 min cold, cached thereafter) must not sink the
-    # rest of the section on a transient compile-helper outage.
+    # Full-state Quad12D at K=8 (nxf=96): the DENSE quadrotor swarm --
+    # the spacing-0.85 local-crossing grid quad6d_64 uses, neighborhoods
+    # up to 8 -- on the best measured path.  The r5 scoped-vmem lift
+    # makes the wide kernel a CAPABILITY at this width
+    # (logs/wide_envelope_r5.json) but the XLA scans measured ~10x
+    # faster at nxf=96 (logs/r5_wide96_crossover.log), so auto
+    # resolution records backend=xla here.  Own guard: a transient
+    # failure must not sink the rest of the section.
     try:
         x0q8, xfq8 = _grid3d_scenario(n, spacing=0.85, nx=12)
         costq8 = dtl.make_game_cost(

@@ -83,15 +83,27 @@ _I0 = np.int32(0)
 
 # Widest flat state (K * nx_p) the statically-unrolled backward kernel's
 # program compiles at (measured: 32 OK; 48 hangs the TPU compiler > 20 min).
-# Past it the blocked kernel (pallas_batched_wide) takes over, up to
-# WIDE_NXF_LIMIT.  r4 pinned 48 there; the r5 envelope diagnosis
-# (logs/wide_envelope_r5.json) showed every 48 < nxf <= 96 failure was the
-# DEFAULT 16 MB scoped-vmem flag, not compile time -- with the wide
-# kernel's per-kernel vmem_limit_bytes raised (pallas_batched_wide.
-# WIDE_VMEM_LIMIT_BYTES) Quad12D K=8 (nxf=96) compiles and runs on v5e,
-# so the envelope is 96, with fits_vmem_wide gating chunk width per shape.
+# Past it the blocked kernel (pallas_batched_wide) takes over.
+#
+# WIDE_NXF_LIMIT is the CAPABILITY envelope: r4 pinned 48; the r5 envelope
+# diagnosis (logs/wide_envelope_r5.json) showed every 48 < nxf <= 96
+# failure was the DEFAULT 16 MB scoped-vmem flag, not compile time -- with
+# the wide kernel's per-kernel vmem_limit_bytes raised
+# (pallas_batched_wide.WIDE_VMEM_LIMIT_BYTES) Quad12D K=8 (nxf=96)
+# compiles and runs on v5e.
+#
+# WIDE_NXF_AUTO_LIMIT is where AUTO resolution stops preferring the
+# kernel: past 48 the blocked kernel's sequential K*nu_p-pivot elimination
+# over K^2 blocks loses to the XLA scans by ~10x, and its float32
+# accumulation on stiff Quad12D Hessians also costs iterations --
+# measured at nxf=96 (logs/r5_wide96_crossover.log): 64 agents 28.3 ms /
+# 64 iters XLA vs 295.2 ms / 382 iters Pallas; 16 agents 13.3 ms / 16
+# iters XLA vs 264.3 ms / 107 iters Pallas.  Explicit
+# sweep_backend="pallas" still routes 48 < nxf <= 96 through the wide
+# kernel (correctness-tested at 96).
 UNROLLED_NXF_LIMIT = 32
 WIDE_NXF_LIMIT = 96
+WIDE_NXF_AUTO_LIMIT = 48
 
 # Scoped-VMEM ceiling requested from the Mosaic compiler for the batched
 # kernels (same mechanism as pallas_batched_wide.WIDE_VMEM_LIMIT_BYTES):
@@ -1346,15 +1358,14 @@ def resolve_batched_backend(
     # Mixed RK4 substeps run in-kernel via the per-column dh table
     # (forward_pass_batched), so no uniformity requirement here.
     n_br = int(np.max(fleet.branch_index_array)) + 1 if fleet.n_agents else 1
-    # Program-size envelope.  Up to nxf = K * nx_p = 32 the statically-
-    # unrolled kernels compile (and are ~2x faster per launch than the
-    # blocked form); from 32 to WIDE_NXF_LIMIT = 96 the blocked backward
-    # kernel (pallas_batched_wide, raised per-kernel scoped-vmem limit)
-    # takes over -- measured compiling AND running up to Quad12D K=8
-    # (nxf=96) on v5e (logs/wide_envelope_r5*.json).  Beyond that, the
-    # XLA scans.
+    # Performance envelope.  Up to nxf = K * nx_p = 32 the statically-
+    # unrolled kernels (~2x faster per launch than the blocked form);
+    # from 32 to WIDE_NXF_AUTO_LIMIT = 48 the blocked backward kernel;
+    # beyond, the XLA scans win by ~10x measured (see the envelope
+    # constants' header note) even though the wide kernel COMPILES and
+    # runs to 96 -- force sweep_backend="pallas" to use it there.
     nxf = K * fleet.nx_p
-    if nxf > WIDE_NXF_LIMIT:
+    if nxf > WIDE_NXF_AUTO_LIMIT:
         return "xla"
     if nxf > UNROLLED_NXF_LIMIT:
         from .pallas_batched_wide import fits_vmem_wide

@@ -408,11 +408,13 @@ class TestVmemFallback:
 
 
 class TestKernelEnvelope:
-    """resolve_batched_backend's program-size envelope: the unrolled
+    """resolve_batched_backend's performance envelope: the unrolled
     kernels up to K * nx_p = 32, the blocked wide backward
-    (pallas_batched_wide) from 32 to WIDE_NXF_LIMIT = 96 (the r5
-    scoped-vmem lift, logs/wide_envelope_r5.json), the XLA scans
-    beyond -- limits measured on v5e."""
+    (pallas_batched_wide) from 32 to WIDE_NXF_AUTO_LIMIT = 48, the
+    measured-faster XLA scans beyond (the wide kernel's CAPABILITY
+    extends to 96 behind explicit sweep_backend="pallas" -- r5
+    scoped-vmem lift + crossover measurement,
+    logs/{wide_envelope_r5,r5_wide96_crossover}.*)."""
 
     def test_wide_k_resolves_to_xla(self, monkeypatch):
         import jax
@@ -423,11 +425,10 @@ class TestKernelEnvelope:
         cfg = SolverConfig(sweep_backend="auto")
         fleet8 = dtl.homogeneous_fleet(dtl.UNICYCLE_4D, 32, 0.1)
         assert resolve_batched_backend(cfg, fleet8, 50, 8, 32) == "pallas"
-        # nxf = 48 and 64: the blocked wide kernel's range since r5.
+        # nxf = 48: the blocked wide kernel's auto range.
         assert resolve_batched_backend(cfg, fleet8, 50, 12, 32) == "pallas"
-        assert resolve_batched_backend(cfg, fleet8, 50, 16, 32) == "pallas"
-        # nxf = 128: past the measured wide envelope.
-        assert resolve_batched_backend(cfg, fleet8, 50, 32, 32) == "xla"
+        # nxf = 64: capability, but auto prefers the faster XLA scans.
+        assert resolve_batched_backend(cfg, fleet8, 50, 16, 32) == "xla"
         fleet6 = dtl.homogeneous_fleet(dtl.QUAD_6D, 8, 0.1)
         assert resolve_batched_backend(cfg, fleet6, 20, 4, 8) == "pallas"
         assert resolve_batched_backend(cfg, fleet6, 20, 8, 8) == "pallas"

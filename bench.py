@@ -624,6 +624,7 @@ def main():
             "ms": ms,
             "backend": backend,
             "iters": int(np.asarray(res.iters).sum()),
+            "J": float(np.asarray(res.J)),
         }
 
     # Sustained closed-loop MPC rate: receding-horizon steps of solve_rhc
@@ -662,6 +663,49 @@ def main():
         except Exception as e:  # noqa: BLE001 -- diagnostic, not control
             print(f"closed-loop {name} failed: {e!r:.300}", file=sys.stderr)
             cl_extra[f"mpc_{name}_error"] = f"{e!s:.200}"
+
+    # Selfish-warmstart cold solves (reference problem.py:66-91): the
+    # reference's own per-agent solo warm start, batched here as ONE
+    # singleton-graph kernel solve, followed by the coupled distributed
+    # solve.  Timed END TO END (warmstart included).  At 500 agents this
+    # crosses the 10 Hz cold bar the zero-warmstart solve misses (8.4 Hz)
+    # AND lands a ~5.6x lower joint cost with a higher per-subproblem
+    # convergence fraction -- the warmstart is strictly better, not a
+    # redefinition of the workload (scripts/bench_warmstart.py measures
+    # both side by side; the zero-warmstart series above stays canonical).
+    def _ws_points():
+        from dpilqr_tpu.parallel.rhc import selfish_warmstart
+
+        out = {}
+        for n in (100, 250, 500):
+            fleet, cost, x0 = builds[n]
+            x0j = jnp.asarray(x0, dtype)
+            X0 = jnp.broadcast_to(x0j[None], (N + 1, n, 4))
+            rad = jnp.asarray(radius, dtype)
+            ign = jnp.zeros((n,), bool)
+            backend = resolve_batched_backend(cfg, fleet, N, K, n, (X0,))
+            cfg_n = dataclasses.replace(cfg, sweep_backend=backend)
+
+            def solve_ws(fleet=fleet, cost=cost, x0j=x0j, X0=X0, rad=rad,
+                         ign=ign, cfg_n=cfg_n, n=n):
+                Uw = selfish_warmstart(fleet, cost, x0j, N, config=cfg_n)
+                return _solve_distributed(
+                    fleet, cfg_n, K, None, cost, X0, Uw, rad, ign
+                )
+
+            ms, res = time_solve(solve_ws, reps=10)
+            assert not bool(res.truncated)
+            out[f"ms_{n}_distributed_ws"] = round(ms, 3)
+            out[f"hz_{n}_distributed_ws"] = round(1000.0 / ms, 2)
+            out[f"iters_{n}_distributed_ws"] = int(
+                np.asarray(res.iters).sum()
+            )
+            # Solution-quality ratio vs the zero-warmstart solve: < 1
+            # means the warmstarted solve found a BETTER joint optimum.
+            out[f"J_ws_over_cold_{n}"] = round(
+                float(np.asarray(res.J)) / points[n]["J"], 3
+            )
+        return out
 
     _cl_point("100", 100, 20, None)
     _cl_point("250", 250, 20, 8)
@@ -750,6 +794,7 @@ def main():
     # compile-helper outage mid-run) must not cost the round its headline
     # artifact -- log to stderr and emit partial extras instead.
     for section in (
+        _ws_points,
         lambda: _model_family_points(dtl, cfg, N, dt, radius, time_solve),
         lambda: _sol_extras(dtl, cfg, N, dt, radius),
     ):
@@ -770,7 +815,7 @@ def main():
         "deadline_capped_frac_100_tkill",
         "ms_10_centralized", "riccati_block_nnz_per_s",
         "ms_50_distributed", "ms_100_distributed", "ms_250_distributed",
-        "ms_500_distributed",
+        "ms_500_distributed", "ms_500_distributed_ws",
         "ms_quad6d_64_distributed", "ms_quad12d_16_distributed",
         "ms_quad12d_64_distributed", "ms_quad12d_64_k8_distributed",
         "ms_hetero_99_distributed",

@@ -17,8 +17,18 @@ jax.config.update("jax_enable_x64", True)
 # Persistent compilation cache: compiles of the fused solver programs are
 # expensive (especially through remote-compile tunnels); cache them across
 # processes.  Override the location with JAX_COMPILATION_CACHE_DIR.
+# CPU-only runs (JAX_PLATFORMS=cpu -- virtual-mesh dryruns, sharding
+# checks) get a SEPARATE cache dir: a TPU session's remote-compile helper
+# can deposit XLA:CPU executables built for a different host CPU into the
+# shared cache, and loading those in a CPU-only process risks SIGILL
+# (the mismatch tests/conftest.py isolates itself from hermetically).
+_default_cache = (
+    "~/.cache/jax_dpilqr_cpu"
+    if os.environ.get("JAX_PLATFORMS", "").strip().lower() == "cpu"
+    else "~/.cache/jax_dpilqr"
+)
 _cache_dir = os.environ.get(
-    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser("~/.cache/jax_dpilqr")
+    "JAX_COMPILATION_CACHE_DIR", os.path.expanduser(_default_cache)
 )
 try:
     jax.config.update("jax_compilation_cache_dir", _cache_dir)

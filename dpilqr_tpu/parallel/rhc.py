@@ -140,6 +140,7 @@ def solve_rhc(
     K: int | None = None,
     config: SolverConfig = DEFAULT_CONFIG,
     rng=None,
+    U0=None,
     verbose: bool = False,
     log_fn: Callable | None = None,
     checkpoint_path=None,
@@ -152,6 +153,12 @@ def solve_rhc(
     goal) must be given (reference distributed.py:125-143).  ``t_diverge``
     aborts after that much simulated time; ``t_kill`` caps wall-clock per
     solve (reference control.py:213-218).
+
+    ``U0 (N, n, nu_p)`` seeds the first solve's warm start instead of the
+    default small random controls -- e.g. ``selfish_warmstart(...)`` (the
+    reference's problem.py:66-91 solo warm start, which its examples feed
+    into the receding-horizon run; at 500 agents it makes the first solve
+    1.2x faster with a ~5x lower joint cost, logs/r5_warmstart.jsonl).
     """
     if (J_converge is None) == (dist_converge is None):
         raise ValueError("Specify exactly one of J_converge or dist_converge")
@@ -187,8 +194,11 @@ def solve_rhc(
         U_exec_parts = [jnp.asarray(resume_state.U_full)]
         step_count = resume_state.step
     else:
-        # Small random warm start (reference distributed.py:152).
-        U_np = (rng.uniform(size=(N, n, nu_p)) * 0.01).astype(dtype)
+        if U0 is not None:
+            U_np = np.asarray(U0, dtype).reshape(N, n, nu_p)
+        else:
+            # Small random warm start (reference distributed.py:152).
+            U_np = (rng.uniform(size=(N, n, nu_p)) * 0.01).astype(dtype)
         U_np = U_np * np.asarray(fleet.control_mask, dtype)[None]
         U = jnp.asarray(U_np)
         X = jnp.asarray(x0[None])  # (1, n, nx) until the first solve

@@ -223,6 +223,33 @@ class TestRhc:
         assert res.converged
         assert res.steps[0].graph is not None
 
+    def test_rhc_u0_seeds_first_warm_start(self):
+        # U0 replaces the rng warm start: the same U0 under DIFFERENT rngs
+        # gives bit-identical runs, while the default rng warm start does
+        # not -- proving the parameter is honored.  U0 here is the
+        # reference's own selfish warmstart (problem.py:66-91), the
+        # composition its examples use before a receding-horizon run.
+        n, dt, N = 2, 0.1, 20
+        fleet = dtl.homogeneous_fleet(dtl.DOUBLE_INT_4D, n, dt)
+        x0 = np.array([[-1.0, 0.2, 0, 0], [1.0, -0.2, 0, 0]])
+        xf = np.array([[1.0, 0.2, 0, 0], [-1.0, -0.2, 0, 0]])
+        cost = _uni_cost(n, xf, radius=0.3)
+        Uw = dtl.selfish_warmstart(fleet, cost, jnp.asarray(x0), N)
+
+        def run(seed, U0=None):
+            return dtl.solve_rhc(
+                fleet, cost, x0, N, radius=0.3, centralized=False,
+                step_size=2, dist_converge=0.1, t_diverge=10.0,
+                rng=np.random.default_rng(seed), U0=U0,
+            )
+
+        a, b = run(0, U0=Uw), run(1, U0=Uw)
+        np.testing.assert_array_equal(a.X, b.X)
+        np.testing.assert_array_equal(a.U, b.U)
+        assert a.converged and b.converged
+        c, d = run(0), run(1)
+        assert not np.array_equal(c.U, d.U)
+
     def test_pipeline_commits_exactly_the_executed_steps(self):
         # The depth-1 pipeline dispatches one step past the stopping point;
         # the discarded step must never be committed: with t_diverge sized
